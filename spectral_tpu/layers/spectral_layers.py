@@ -1,0 +1,175 @@
+"""Spectral mixing layers — the flagship O(T log T) attention replacement.
+
+TPU-native re-expression of the reference's spectral layer family
+(reference: fft_tensor/spectral_layers.py:19-256 and the Wirtinger filter,
+fft_tensor/wirtinger_ops.py:145-203).
+
+Semantics preserved from the reference:
+* FFT runs across the SEQUENCE axis only (context structure, not semantics).
+* A learnable complex filter of shape (D, num_filters) is applied to the
+  lowest ``k = min(num_filters, T//2)`` bins; all higher bins are ZEROED
+  (spectral_layers.py:101-109 — that zeroing is part of the layer's contract,
+  not an accident).
+* ``learnable=False`` degrades to pure FFT→IFFT mixing (FNet-style).
+* Gradients through the filter use the Wirtinger conjugate-multiply rule
+  (``use_wirtinger=True``), matching the torch reference bit-for-bit in fp32.
+
+TPU-native differences:
+* Weights live as real/imag float32 leaves (optax-friendly).
+* The whole layer jits into a single XLA fusion (fft → scale → ifft); the
+  Pallas fused-filter kernel in ``spectral_tpu.ops.pallas_spectral`` replaces
+  the mid-section on TPU for the memory-bound path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from spectral_tpu.ops.wirtinger import wirtinger_multiply_ri
+
+
+class SpectralMixingLayer(nn.Module):
+    """O(T log T) global mixing: FFT → learnable complex filter → IFFT.
+
+    Args:
+        embed_dim: model width D.
+        num_filters: frequency filters (default D//2).
+        dropout: dropout prob applied to the output.
+        learnable: if False, no parameters — pure FFT mixing.
+        use_wirtinger: route the filter multiply through the custom Wirtinger
+            vjp (reference parity); if False, rely on jnp complex autodiff.
+    """
+
+    embed_dim: int
+    num_filters: Optional[int] = None
+    dropout: float = 0.0
+    learnable: bool = True
+    use_wirtinger: bool = True
+
+    @property
+    def n_filters(self) -> int:
+        return self.num_filters or (self.embed_dim // 2)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        B, T, D = x.shape
+        assert D == self.embed_dim, f"Expected embed_dim={self.embed_dim}, got {D}"
+
+        x_freq = jnp.fft.fft(x.astype(jnp.float32), axis=1)  # [B, T, D] complex64
+
+        if self.learnable:
+            nf = self.n_filters
+            w_real = self.param("weight_real", nn.initializers.ones, (D, nf))
+            w_imag = self.param("weight_imag", nn.initializers.zeros, (D, nf))
+            bias = self.param("bias", nn.initializers.zeros, (D,))
+
+            k = min(nf, T // 2)
+            # The reference slices the low bins, filters them, and scatters
+            # back into zeros (spectral_layers.py:97-109).  Equivalent — and
+            # scatter-free, which the TPU backend requires for complex dtypes
+            # and XLA fuses into one elementwise pass — is multiplying the
+            # FULL spectrum by the weight zero-padded over the high bins:
+            # high bins x 0 == "high frequencies zeroed" (layer contract).
+            wb_r = jnp.pad(w_real[:, :k].T, ((0, T - k), (0, 0)))[None]  # (1, T, D)
+            wb_i = jnp.pad(w_imag[:, :k].T, ((0, T - k), (0, 0)))[None]
+            if self.use_wirtinger:
+                x_freq = wirtinger_multiply_ri(x_freq, wb_r, wb_i)
+            else:
+                x_freq = x_freq * jax.lax.complex(wb_r, wb_i)
+
+        y = jnp.fft.ifft(x_freq, axis=1).real.astype(x.dtype)
+
+        if self.learnable:
+            y = y + bias
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return y
+
+    @staticmethod
+    def verify_energy_preservation(x: jax.Array, y: jax.Array) -> float:
+        """Parseval check helper (spectral_layers.py:122-132)."""
+        e_in = float(jnp.sum(x.astype(jnp.float32) ** 2))
+        e_out = float(jnp.sum(y.astype(jnp.float32) ** 2))
+        return e_out / (e_in + 1e-8)
+
+
+class WirtingerSpectralFilter(nn.Module):
+    """Standalone complex spectral filter over the lowest k bins.
+
+    Operates on an already-FFT'd complex [B, T, D] tensor; identity ("ones")
+    init so the layer starts as a pass-through on the kept band
+    (reference: wirtinger_ops.py:145-203).
+    """
+
+    num_channels: int
+    num_frequencies: int
+
+    @nn.compact
+    def __call__(self, x_freq: jax.Array) -> jax.Array:
+        B, T, D = x_freq.shape
+        assert D == self.num_channels
+        w_real = self.param("weight_real", nn.initializers.ones, (D, self.num_frequencies))
+        w_imag = self.param("weight_imag", nn.initializers.zeros, (D, self.num_frequencies))
+        k = min(self.num_frequencies, T // 2)
+        # scatter-free full-spectrum multiply (see SpectralMixingLayer)
+        wb_r = jnp.pad(w_real[:, :k].T, ((0, T - k), (0, 0)))[None]
+        wb_i = jnp.pad(w_imag[:, :k].T, ((0, T - k), (0, 0)))[None]
+        return wirtinger_multiply_ri(x_freq, wb_r, wb_i)
+
+
+class SpectralMLPBlock(nn.Module):
+    """Pre-norm residual block: spectral mix (global) + MLP (local).
+
+    Reference: fft_tensor/spectral_layers.py:135-190.
+    """
+
+    embed_dim: int
+    mlp_ratio: int = 4
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        mix = SpectralMixingLayer(self.embed_dim, dropout=self.dropout, learnable=True, name="spectral_mix")
+        x = x + mix(nn.LayerNorm(name="norm1")(x), deterministic=deterministic)
+
+        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.Dense(self.embed_dim * self.mlp_ratio, name="mlp_in")(h)
+        h = nn.gelu(h, approximate=False)  # exact erf GELU (torch nn.GELU parity)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.embed_dim, name="mlp_out")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return x + h
+
+
+class HybridSpectralAttention(nn.Module):
+    """Spectral global mixing + full multi-head local attention.
+
+    Reference: fft_tensor/spectral_layers.py:193-256 (its ``window_size`` is
+    accepted-but-unused there too; kept for API parity).
+    """
+
+    embed_dim: int
+    num_heads: int = 8
+    window_size: int = 64
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        B, T, D = x.shape
+        global_context = SpectralMixingLayer(self.embed_dim, dropout=self.dropout, name="spectral")(
+            x, deterministic=deterministic
+        )
+        h = nn.LayerNorm(name="norm")(x + global_context)
+        qkv = nn.Dense(3 * D, name="qkv")(h)
+        qkv = qkv.reshape(B, T, 3, self.num_heads, D // self.num_heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, T, H, Dh]
+        attn = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(D // self.num_heads)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, D)
+        out = nn.Dense(D, name="proj")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return x + out

@@ -1,0 +1,194 @@
+"""The causal spectral LM backbone.
+
+TPU-native re-expression of the reference's center of gravity: the causal
+``FixedSpectralBlock`` and ``FixedSpectralLM``
+(reference: fft_lm/train_fixed_full.py:427-618).
+
+Causality: an earlier non-causal frequency filter leaks FUTURE tokens during
+training (FFT mixes the whole window); the fix — preserved here — is a causal
+*linear* convolution via zero-padding to ``n_fft = next_pow2(T + K - 1)`` with
+a one-sided K-tap time-domain kernel, taking the first T outputs.
+
+TPU-native differences from the torch original:
+* static ``n_fft`` resolved at trace time from ``x.shape`` (no dynamic FFT
+  sizes inside jit);
+* the curriculum ``cutoff`` is a *traced* scalar — the cosine roll-off mask is
+  branchless, so per-epoch cutoff changes don't recompile;
+* gates/FFN matmuls can run in bf16 (``compute_dtype``) while the FFT path
+  stays fp32/complex64;
+* everything is a pure function of (params, x, cutoff, rng) — ready for pjit
+  sharding (batch over ``dp``, channels over ``tp``: the time-axis FFT is
+  embarrassingly parallel over channels).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from spectral_tpu.models.config import TrainConfig
+from spectral_tpu.ops.fftc import (
+    conv_freq_bins,
+    conv_n_fft,
+    cutoff_mask,
+    irfft_time,
+    kernel_rfft,
+    next_pow2,
+    rfft_time,
+)
+
+# init helpers shared by all block variants
+_small_normal = nn.initializers.normal(stddev=0.01)
+_kernel_init = nn.initializers.normal(stddev=0.001)
+
+
+def _gate_bias_init(key, shape, dtype=jnp.float32):
+    """Gates start 'mostly open': sigmoid(2.0) ~ 0.88 (train_fixed_full.py:475-480)."""
+    return jnp.full(shape, 2.0, dtype)
+
+
+class SpectralFFNTime(nn.Module):
+    """The standard time-domain FFN residual branch (pre-LN, GELU, small init).
+
+    Reference: train_fixed_full.py:484-495 (hidden = 2x d_model by default).
+    """
+
+    d_model: int
+    ffn_mult: int = 2
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        h = nn.LayerNorm(name="ffn_ln")(x)
+        h = nn.Dense(self.d_model * self.ffn_mult, kernel_init=_small_normal, name="ffn_in")(h)
+        h = nn.gelu(h, approximate=False)  # exact erf GELU (torch nn.GELU parity)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, kernel_init=_small_normal, name="ffn_out")(h)
+        return h
+
+
+class FixedSpectralBlock(nn.Module):
+    """A single causal spectral mixing block (the hottest code in the model).
+
+    Pipeline (reference: train_fixed_full.py:497-563):
+      pre-LN -> zero-pad -> rfft over time -> x k̂ x gain
+      -> sigmoid per-frequency gate x sigmoid context gate (mean-pooled)
+      -> curriculum cutoff cosine roll-off -> irfft, first T (causal)
+      -> dropout residual -> pre-LN FFN (GELU 2x) residual.
+
+    The two gates are the "valve" that prevents resonant attractors
+    ("888888" loops) from dominating.
+    """
+
+    d_model: int
+    seq_len: int
+    kernel_len: int
+    transition_bins: int
+    dropout: float = 0.1
+    ffn_mult: int = 2
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        cutoff: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        B, T, C = x.shape
+        max_freq_bins = conv_freq_bins(self.seq_len, self.kernel_len)
+
+        kernel = self.param("kernel", _kernel_init, (self.kernel_len,))
+        gain = self.param("gain", nn.initializers.ones, (C,))
+        gate_freq_logits = self.param("gate_freq_logits", _gate_bias_init, (max_freq_bins,))
+
+        residual = x
+        x = nn.LayerNorm(name="ln")(x)
+
+        n_fft = conv_n_fft(T, self.kernel_len)
+        fbins = n_fft // 2 + 1
+
+        x_freq = rfft_time(x, n_fft)  # [B, F, C] complex64
+        k_freq = kernel_rfft(kernel, n_fft)  # [F]
+        y_freq = x_freq * k_freq[None, :, None] * gain[None, None, :].astype(jnp.complex64)
+
+        # ---- gating ("valve")
+        g_freq = jax.nn.sigmoid(gate_freq_logits[:fbins])  # [F]
+        pooled = jnp.mean(x, axis=1)  # [B, C]
+        g_ctx = jax.nn.sigmoid(
+            nn.Dense(C, kernel_init=nn.initializers.zeros, bias_init=_gate_bias_init, name="gate_ctx")(pooled)
+        )  # [B, C]
+        y_freq = y_freq * g_freq[None, :, None] * g_ctx[:, None, :]
+
+        # ---- progressive frequency horizon (JPEG schedule)
+        mask = cutoff_mask(fbins, cutoff, self.transition_bins)
+        y_freq = y_freq * mask[None, :, None]
+
+        y = irfft_time(y_freq, n_fft, T)  # causal: first T of the linear conv
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        x = residual + y
+
+        ffn = SpectralFFNTime(C, self.ffn_mult, self.dropout, name="ffn")
+        h = ffn(x, deterministic=deterministic)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return x + h
+
+
+class FixedSpectralLM(nn.Module):
+    """Byte-level LM: Embedding(256, d) -> N spectral blocks -> LN -> tied logits.
+
+    Block class dispatched by config flags (train_fixed_full.py:572-583):
+    ``bicameral`` > ``frequency_native`` > standard.
+    """
+
+    cfg: TrainConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.embed = nn.Embed(cfg.vocab_size, cfg.d_model, name="embed")
+        if cfg.bicameral:
+            from spectral_tpu.models.bicameral import BicameralBlock
+
+            block_cls = BicameralBlock
+        elif cfg.frequency_native:
+            from spectral_tpu.models.frequency_native import FrequencyNativeBlock
+
+            block_cls = FrequencyNativeBlock
+        else:
+            block_cls = FixedSpectralBlock
+        self.blocks = [
+            block_cls(
+                d_model=cfg.d_model,
+                seq_len=cfg.seq_len,
+                kernel_len=cfg.kernel_len,
+                transition_bins=cfg.jpeg_transition,
+                dropout=cfg.dropout,
+                name=f"block_{i}",
+            )
+            for i in range(cfg.n_layers)
+        ]
+        self.ln_f = nn.LayerNorm(name="ln_f")
+
+    def forward_hidden(
+        self,
+        x: jax.Array,
+        cutoff: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """x: [B, T] int32 byte ids -> final hidden states [B, T, C]."""
+        h = self.embed(x)
+        for blk in self.blocks:
+            h = blk(h, cutoff=cutoff, deterministic=deterministic)
+        return self.ln_f(h)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        cutoff: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """x: [B, T] int32 -> logits [B, T, V] (weight-tied via embed.T)."""
+        h = self.forward_hidden(x, cutoff=cutoff, deterministic=deterministic)
+        return h @ self.embed.embedding.T

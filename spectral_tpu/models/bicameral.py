@@ -1,0 +1,156 @@
+"""The bicameral (two-hemisphere) block: frequency (global) + time (local).
+
+TPU-native re-expression of reference fft_lm/bicameral.py:26-272.
+
+* RIGHT hemisphere (frequency): causal FFT conv + gates + PhaseShift; the
+  curriculum cutoff applies ONLY here (progressive structure learning).
+* LEFT hemisphere (time): depthwise causal conv (k=3, trigram window) at full
+  bandwidth always (sharp details, spelling).
+* Corpus callosum: normalized sigmoid alpha-weighted sum of the two paths
+  plus 0.1 x cross-interaction Linear on their concatenation; shared FFN.
+
+The depthwise conv is expressed with ``lax.conv_general_dilated``
+(feature_group_count = C) and reproduces the reference's shift-then-pad
+receptive field exactly: y[t] = w0*x[t-2] + w1*x[t-1] + w2*x[t].
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from spectral_tpu.models.backbone import SpectralFFNTime
+from spectral_tpu.models.frequency_native import PhaseShift
+from spectral_tpu.ops.fftc import (
+    conv_freq_bins,
+    conv_n_fft,
+    cutoff_mask,
+    irfft_time,
+    kernel_rfft,
+    rfft_time,
+)
+
+_small_normal = nn.initializers.normal(stddev=0.01)
+_kernel_init = nn.initializers.normal(stddev=0.001)
+
+
+def _gate_bias_init(key, shape, dtype=jnp.float32):
+    return jnp.full(shape, 2.0, dtype)
+
+
+class BicameralBlock(nn.Module):
+    d_model: int
+    seq_len: int
+    kernel_len: int
+    transition_bins: int
+    dropout: float = 0.1
+    ffn_mult: int = 2
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        cutoff: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        B, T, C = x.shape
+        max_freq_bins = conv_freq_bins(self.seq_len, self.kernel_len)
+
+        residual = x
+        x = nn.LayerNorm(name="ln")(x)
+        pooled = jnp.mean(x, axis=1)  # [B, C] shared context summary
+
+        # ============================================================
+        # RIGHT BRAIN: frequency path (follows the curriculum cutoff)
+        # ============================================================
+        kernel_freq = self.param("kernel_freq", _kernel_init, (self.kernel_len,))
+        gain_freq = self.param("gain_freq", nn.initializers.ones, (C,))
+        gate_freq_logits = self.param("gate_freq_logits", _gate_bias_init, (max_freq_bins,))
+
+        n_fft = conv_n_fft(T, self.kernel_len)
+        fbins = n_fft // 2 + 1
+
+        x_freq = rfft_time(x, n_fft)
+        k_freq = kernel_rfft(kernel_freq, n_fft)
+        y_freq = x_freq * k_freq[None, :, None] * gain_freq[None, None, :].astype(jnp.complex64)
+
+        g_freq = jax.nn.sigmoid(gate_freq_logits[:fbins])
+        g_ctx = jax.nn.sigmoid(
+            nn.Dense(C, kernel_init=nn.initializers.zeros, bias_init=_gate_bias_init, name="gate_ctx_freq")(pooled)
+        )
+        y_freq = y_freq * g_freq[None, :, None] * g_ctx[:, None, :]
+
+        # phase activation (frequency-native nonlinearity)
+        y_freq = PhaseShift(C, max_freq_bins, name="phase_activation")(y_freq)
+
+        # curriculum cutoff — RIGHT BRAIN ONLY
+        mask = cutoff_mask(fbins, cutoff, self.transition_bins)
+        y_freq = y_freq * mask[None, :, None]
+
+        y_spectral = irfft_time(y_freq, n_fft, T)  # [B, T, C]
+
+        # ============================================================
+        # LEFT BRAIN: time path (no cutoff — always full resolution)
+        # ============================================================
+        conv_w = self.param("conv1d_kernel", _small_normal, (3, 1, C))  # (W, I/g, O) depthwise
+        conv_b = self.param("conv1d_bias", nn.initializers.zeros, (C,))
+
+        # reference: shift right by one (drop last), then conv1d(k=3, pad=1):
+        # y[t] = w0*x[t-2] + w1*x[t-1] + w2*x[t]
+        x_shift = jnp.pad(x[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
+        y_time = jax.lax.conv_general_dilated(
+            x_shift,
+            conv_w,
+            window_strides=(1,),
+            padding=[(1, 1)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=C,
+        ) + conv_b[None, None, :]
+
+        g_time = jax.nn.sigmoid(
+            nn.Dense(C, kernel_init=nn.initializers.zeros, bias_init=_gate_bias_init, name="gate_time")(pooled)
+        )
+        y_time = y_time * g_time[:, None, :]
+
+        # ============================================================
+        # CORPUS CALLOSUM: fusion
+        # ============================================================
+        alpha_freq = self.param("alpha_freq", lambda k, s: jnp.asarray(0.5), ())
+        alpha_time = self.param("alpha_time", lambda k, s: jnp.asarray(0.5), ())
+        a_f = jax.nn.sigmoid(alpha_freq)
+        a_t = jax.nn.sigmoid(alpha_time)
+        total = a_f + a_t + 1e-8
+        w_freq = a_f / total
+        w_time = a_t / total
+
+        y_concat = jnp.concatenate([y_spectral, y_time], axis=-1)
+        y_cross = nn.Dense(C, kernel_init=_small_normal, name="cross_interact")(y_concat)
+
+        y = w_freq * y_spectral + w_time * y_time + 0.1 * y_cross
+
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        out = residual + y
+
+        ffn = SpectralFFNTime(C, self.ffn_mult, self.dropout, name="ffn")
+        h = ffn(out, deterministic=deterministic)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return out + h
+
+
+def hemisphere_balance(params: dict) -> dict:
+    """Diagnostic: which hemisphere dominates (bicameral.py:326-388).
+
+    Args:
+        params: a BicameralBlock param subtree (contains alpha_freq/alpha_time).
+    Returns:
+        dict with normalized weights {"w_freq": ..., "w_time": ...}.
+    """
+    import numpy as np
+
+    a_f = 1.0 / (1.0 + np.exp(-float(params["alpha_freq"])))
+    a_t = 1.0 / (1.0 + np.exp(-float(params["alpha_time"])))
+    total = a_f + a_t
+    return {"w_freq": a_f / total, "w_time": a_t / total}

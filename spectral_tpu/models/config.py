@@ -1,0 +1,116 @@
+"""Training/model configuration.
+
+One frozen dataclass mirroring the reference's ~60-field ``TrainConfig``
+(reference: fft_lm/train_fixed_full.py:34-105), with the same three config
+layers: dataclass defaults → CLI overrides → checkpoint-saved dict rehydrated
+on load (SURVEY.md §5.6).  Unlike the reference it is immutable (hashable, so
+it can ride through jit as a static argument) and adds TPU-specific knobs
+(compute dtype, mesh axes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+from spectral_tpu.ops.fftc import conv_freq_bins, conv_n_fft
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    # data
+    data_path: str = "tinystories_train.txt"
+    # model
+    vocab_size: int = 256
+    d_model: int = 512
+    n_layers: int = 6
+    seq_len: int = 1024  # context length
+    kernel_len: int = 128  # causal conv kernel length (per block)
+    ffn_mult: int = 2  # feedforward expansion factor
+    dropout: float = 0.1
+    # FREQUENCY-NATIVE MODE (phase activations instead of time-domain FFN)
+    frequency_native: bool = False
+    use_fp32: bool = True  # fp32 for complex arithmetic (reference forces this)
+    # BICAMERAL MODE (dual-path: frequency global + time local)
+    bicameral: bool = False
+    # training
+    batch_size: int = 8
+    accum_steps: int = 1
+    epochs: int = 200
+    steps_per_epoch: int = 250
+    lr: float = 2e-4
+    weight_decay: float = 5e-4
+    grad_clip: float = 1.0
+    # progressive frequency schedule (JPEG)
+    jpeg_low: int = 128
+    jpeg_mid: int = 512
+    jpeg_high: int = 1024
+    jpeg_transition: int = 32  # soft roll-off bins (Gibbs ringing)
+    # generation
+    temperature: float = 0.8
+    top_p: float = 0.9
+    top_k: int = 0  # optional backstop; 0 disables
+    repetition_penalty: float = 1.25
+    repetition_window: int = 256
+    max_run_length: int = 6  # hard anti-stutter
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    ban_cr: bool = True
+    ascii_only: bool = True
+    max_new: int = 400
+    # misc
+    seed: int = 1337
+    # bf16 activations on the matmul paths; complex stays fp32 regardless
+    compute_dtype: str = "float32"
+    # checkpointing
+    ckpt_path: str = "fixed_spectral_ckpt.msgpack"
+    save_every_epochs: int = 5
+    # evaluation / anti-parroting
+    val_windows: int = 2048
+    val_batches: int = 20
+    eval_every_epochs: int = 1
+    parroting_snip_len: int = 64
+    parroting_stride: int = 16
+    parroting_snips: int = 64
+    log_every_steps: int = 50
+    # Sawtooth LR schedule (cosine annealing with stage-aligned restarts)
+    stage1_epochs: int = 1
+    stage2_epochs: int = 3
+    stage1_lr_mult: float = 1.0
+    stage1_min_mult: float = 0.1
+    stage2_lr_mult: float = 1.0
+    stage2_min_mult: float = 0.1
+    stage3_lr_mult: float = 1.0
+    stage3_min_mult: float = 0.05
+    # parallelism (no reference counterpart — TPU-native, SURVEY.md §2.10)
+    mesh_dp: int = 1  # data-parallel mesh axis size
+    mesh_tp: int = 1  # tensor/channel-parallel mesh axis size
+    mesh_sp: int = 1  # sequence-parallel mesh axis size
+
+    # ------------------------------------------------------------------
+    @property
+    def n_fft(self) -> int:
+        """Static FFT length of the causal conv at full seq_len."""
+        return conv_n_fft(self.seq_len, self.kernel_len)
+
+    @property
+    def freq_bins(self) -> int:
+        """rFFT bin count of the causal conv (cutoffs are in these units)."""
+        return conv_freq_bins(self.seq_len, self.kernel_len)
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict, **overrides) -> "TrainConfig":
+        """Rehydrate from a checkpoint-saved dict, ignoring unknown keys
+        (mirrors the reference's hasattr-filtered rehydration,
+        eval_ckpt.py:50-54)."""
+        known = {f.name for f in dataclasses.fields(cls)}
+        kept = {k: v for k, v in d.items() if k in known}
+        kept.update(overrides)
+        return cls(**kept)

@@ -1,0 +1,186 @@
+"""Frequency-native components: the block that never leaves the spectrum.
+
+TPU-native re-expression of reference fft_lm/frequency_native.py:
+
+* ``PhaseShift``      — unitary nonlinearity via learned phase rotation
+  (:22-77), implemented with cos/sin instead of complex exp (the target TPU
+  backend's complex transcendentals are limited; cos/sin lower to the VPU).
+* ``SpectralLayerNorm`` — magnitude LayerNorm preserving phase (:205-241).
+* ``SpectralFFN``     — complex FFN with shared real/imag linears (:124-202).
+* ``FrequencyNativeBlock`` — rfft -> custom-vjp freq conv -> gates -> cutoff
+  -> SpectralFFN residual in the frequency domain -> single irfft (:244-362).
+
+All complex math stays fp32/complex64 (the reference explicitly disables AMP
+for this mode, scripts/train_frequency_native.py:70-72).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from spectral_tpu.ops.fftc import (
+    conv_freq_bins,
+    conv_n_fft,
+    cutoff_mask,
+    irfft_time,
+    kernel_rfft,
+    rfft_time,
+)
+from spectral_tpu.ops.wirtinger import frequency_conv
+
+_small_normal = nn.initializers.normal(stddev=0.01)
+_kernel_init = nn.initializers.normal(stddev=0.001)
+
+
+def _gate_bias_init(key, shape, dtype=jnp.float32):
+    return jnp.full(shape, 2.0, dtype)
+
+
+def _polar(mag: jax.Array, phase: jax.Array) -> jax.Array:
+    """mag * e^{i phase} via cos/sin (VPU-friendly, no complex exp)."""
+    return jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
+
+
+class PhaseShift(nn.Module):
+    """Frequency-native nonlinearity: learned per-(bin, channel) phase rotation.
+
+    rotation = tanh(w) * pi (bounded), magnitude scale = 1 + 0.1*tanh(m)
+    (near-unity => energy-preserving).  Reference: frequency_native.py:22-77.
+    """
+
+    d_model: int
+    n_freqs: int
+
+    @nn.compact
+    def __call__(self, z_freq: jax.Array) -> jax.Array:
+        phase_weights = self.param("phase_weights", _small_normal, (self.n_freqs, self.d_model))
+        magnitude_logits = self.param("magnitude_logits", nn.initializers.zeros, (self.n_freqs, self.d_model))
+
+        fbins = z_freq.shape[1]
+        magnitude = jnp.abs(z_freq)
+        phase = jnp.angle(z_freq)
+        rotation = jnp.tanh(phase_weights[:fbins]) * math.pi  # [F, C]
+        mag_scale = 1.0 + 0.1 * jnp.tanh(magnitude_logits[:fbins])
+        return _polar(magnitude * mag_scale[None], phase + rotation[None])
+
+
+class SpectralLayerNorm(nn.Module):
+    """Normalize magnitude across channels per frequency bin, preserve phase.
+
+    Reference: frequency_native.py:205-241.
+    """
+
+    d_model: int
+    n_freqs: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x_freq: jax.Array) -> jax.Array:
+        gamma = self.param("gamma", nn.initializers.ones, (self.n_freqs, self.d_model))
+        beta = self.param("beta", nn.initializers.zeros, (self.n_freqs, self.d_model))
+
+        fbins = x_freq.shape[1]
+        magnitude = jnp.abs(x_freq)
+        phase = jnp.angle(x_freq)
+        mean = jnp.mean(magnitude, axis=-1, keepdims=True)
+        var = jnp.var(magnitude, axis=-1, keepdims=True)
+        mag_norm = (magnitude - mean) / jnp.sqrt(var + self.eps)
+        mag_scaled = mag_norm * gamma[None, :fbins] + beta[None, :fbins]
+        return _polar(mag_scaled, phase)
+
+
+class SpectralFFN(nn.Module):
+    """Complex feedforward that stays in the frequency domain.
+
+    SpectralLayerNorm -> shared-weight linear on (real, imag) -> PhaseShift
+    -> magnitude dropout -> shared-weight linear back.
+    Reference: frequency_native.py:124-202.
+    """
+
+    d_model: int
+    n_freqs: int
+    expansion: int = 2
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x_freq: jax.Array, deterministic: bool = True) -> jax.Array:
+        hidden = self.d_model * self.expansion
+        x_freq = SpectralLayerNorm(self.d_model, self.n_freqs, name="ln")(x_freq)
+
+        w1 = nn.Dense(hidden, kernel_init=_small_normal, name="w1")
+        # the SAME linear applied to real and imag parts (a complex-linear map
+        # with a real weight matrix)
+        h = jax.lax.complex(w1(jnp.real(x_freq)), w1(jnp.imag(x_freq)))
+        h = PhaseShift(hidden, self.n_freqs, name="activation")(h)
+
+        if self.dropout > 0:
+            mag = jnp.abs(h)
+            phase = jnp.angle(h)
+            mag = nn.Dropout(self.dropout)(mag, deterministic=deterministic)
+            h = _polar(mag, phase)
+
+        w2 = nn.Dense(self.d_model, kernel_init=_small_normal, name="w2")
+        return jax.lax.complex(w2(jnp.real(h)), w2(jnp.imag(h)))
+
+
+class FrequencyNativeBlock(nn.Module):
+    """FixedSpectralBlock-compatible block with a frequency-domain FFN.
+
+    rfft -> frequency_conv (custom Wirtinger vjp) -> gates -> cutoff ->
+    complex FFN residual IN the spectrum -> one irfft at the end.
+    Reference: frequency_native.py:244-362.
+    """
+
+    d_model: int
+    seq_len: int
+    kernel_len: int
+    transition_bins: int
+    dropout: float = 0.1
+    ffn_mult: int = 2  # kept for constructor parity; SpectralFFN uses expansion=2
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        cutoff: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        B, T, C = x.shape
+        max_freq_bins = conv_freq_bins(self.seq_len, self.kernel_len)
+
+        kernel = self.param("kernel", _kernel_init, (self.kernel_len,))
+        gain = self.param("gain", nn.initializers.ones, (C,))
+        gate_freq_logits = self.param("gate_freq_logits", _gate_bias_init, (max_freq_bins,))
+
+        residual = x
+        x = nn.LayerNorm(name="ln")(x)
+
+        n_fft = conv_n_fft(T, self.kernel_len)
+        fbins = n_fft // 2 + 1
+
+        x_freq = rfft_time(x, n_fft)
+        k_freq = kernel_rfft(kernel, n_fft)
+        y_freq = frequency_conv(x_freq, k_freq, gain)
+
+        g_freq = jax.nn.sigmoid(gate_freq_logits[:fbins])
+        pooled = jnp.mean(x, axis=1)
+        g_ctx = jax.nn.sigmoid(
+            nn.Dense(C, kernel_init=nn.initializers.zeros, bias_init=_gate_bias_init, name="gate_ctx")(pooled)
+        )
+        y_freq = y_freq * g_freq[None, :, None] * g_ctx[:, None, :]
+
+        mask = cutoff_mask(fbins, cutoff, self.transition_bins)
+        y_freq = y_freq * mask[None, :, None]
+
+        # Frequency-native FFN residual — stays complex, no time roundtrip.
+        ffn = SpectralFFN(C, max_freq_bins, expansion=2, dropout=self.dropout, name="ffn")
+        y_freq = y_freq + ffn(y_freq, deterministic=deterministic)
+
+        y = irfft_time(y_freq, n_fft, T)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return residual + y
