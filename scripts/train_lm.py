@@ -1,0 +1,118 @@
+"""Train the fixed spectral LM backbone on a byte corpus.
+
+CLI mirror of ``python -m fft_lm.train_fixed_full`` (reference
+train_fixed_full.py:713-777): dataclass defaults, argparse overrides,
+spectral curriculum + sawtooth LR, eval + parroting samples, sha256 ckpts.
+
+Run:
+  python -m scripts.train_lm --data tinystories_train.txt --epochs 200
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from spectral_tpu.models.config import TrainConfig
+from spectral_tpu.train.trainer import train
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data", type=str, default=None, help="byte corpus path")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--accum-steps", type=int, default=None)
+    p.add_argument("--seq-len", type=int, default=None)
+    p.add_argument("--kernel-len", type=int, default=None)
+    p.add_argument("--d-model", type=int, default=None)
+    p.add_argument("--n-layers", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--top-p", type=float, default=None)
+    p.add_argument("--top-k", type=int, default=None)
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--repetition-penalty", type=float, default=None)
+    p.add_argument("--presence-penalty", type=float, default=None)
+    p.add_argument("--frequency-penalty", type=float, default=None)
+    p.add_argument("--log-every-steps", type=int, default=None)
+    p.add_argument("--no-sawtooth", action="store_true")
+    p.add_argument("--stage3-lr-mult", type=float, default=None)
+    p.add_argument("--stage3-min-mult", type=float, default=None)
+    p.add_argument("--ckpt-path", type=str, default=None)
+    p.add_argument("--val-batches", type=int, default=None)
+    p.add_argument("--eval-every-epochs", type=int, default=None)
+    p.add_argument("--no-val", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--frequency-native", action="store_true")
+    p.add_argument("--bicameral", action="store_true")
+    p.add_argument("--compute-dtype", type=str, default=None, choices=["float32", "bfloat16"])
+    return p
+
+
+_ARG_TO_FIELD = {
+    "data": "data_path",
+    "epochs": "epochs",
+    "steps_per_epoch": "steps_per_epoch",
+    "batch_size": "batch_size",
+    "accum_steps": "accum_steps",
+    "seq_len": "seq_len",
+    "kernel_len": "kernel_len",
+    "d_model": "d_model",
+    "n_layers": "n_layers",
+    "lr": "lr",
+    "top_p": "top_p",
+    "top_k": "top_k",
+    "temperature": "temperature",
+    "repetition_penalty": "repetition_penalty",
+    "presence_penalty": "presence_penalty",
+    "frequency_penalty": "frequency_penalty",
+    "log_every_steps": "log_every_steps",
+    "stage3_lr_mult": "stage3_lr_mult",
+    "stage3_min_mult": "stage3_min_mult",
+    "ckpt_path": "ckpt_path",
+    "val_batches": "val_batches",
+    "eval_every_epochs": "eval_every_epochs",
+    "compute_dtype": "compute_dtype",
+}
+
+
+def cfg_from_args(args: argparse.Namespace) -> TrainConfig:
+    overrides = {}
+    for arg, fieldname in _ARG_TO_FIELD.items():
+        v = getattr(args, arg, None)
+        if v is not None:
+            overrides[fieldname] = v
+    if args.frequency_native:
+        overrides["frequency_native"] = True
+        overrides["use_fp32"] = True
+    if args.bicameral:
+        overrides["bicameral"] = True
+    return TrainConfig(**overrides)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = cfg_from_args(args)
+
+    print("=" * 70)
+    print("TRAIN FIXED SPECTRAL MIXER (TPU-native)")
+    print("=" * 70)
+    print(f"Data:   {cfg.data_path}")
+    print(f"SeqLen: {cfg.seq_len}  kernel={cfg.kernel_len}  d_model={cfg.d_model}  layers={cfg.n_layers}")
+    eff = cfg.batch_size * cfg.accum_steps
+    print(f"Batch:  {cfg.batch_size} (micro) x accum {cfg.accum_steps} => effective {eff}")
+    print(f"Epochs: {cfg.epochs} (optimizer steps/epoch={cfg.steps_per_epoch})")
+    print(f"LR:     {cfg.lr} (wd={cfg.weight_decay})  sawtooth={'off' if args.no_sawtooth else 'on'}")
+    print(f"Mode:   bicameral={cfg.bicameral} frequency_native={cfg.frequency_native}")
+    print(f"CKPT:   {cfg.ckpt_path}")
+    print("=" * 70, flush=True)
+
+    train(cfg, resume=args.resume, no_sawtooth=args.no_sawtooth, no_val=args.no_val)
+
+    print("=" * 70)
+    print("DONE")
+    print("=" * 70)
+
+
+if __name__ == "__main__":
+    main()

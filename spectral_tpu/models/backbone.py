@@ -96,7 +96,13 @@ class FixedSpectralBlock(nn.Module):
         x: jax.Array,
         cutoff: Optional[jax.Array] = None,
         deterministic: bool = True,
+        length: Optional[jax.Array] = None,
     ) -> jax.Array:
+        """``length``: optional traced scalar marking the valid prefix of the
+        time axis.  Positions >= length are zeroed after the pre-LN and
+        excluded from the pooled context gate, making a fixed-size buffer
+        bit-identical to running the reference on the length-L window (the
+        TPU-native alternative to per-length recompiles during generation)."""
         B, T, C = x.shape
         max_freq_bins = conv_freq_bins(self.seq_len, self.kernel_len)
 
@@ -106,6 +112,12 @@ class FixedSpectralBlock(nn.Module):
 
         residual = x
         x = nn.LayerNorm(name="ln")(x)
+        if length is not None:
+            valid = (jnp.arange(T) < length).astype(x.dtype)[None, :, None]
+            x = x * valid
+            pooled = jnp.sum(x, axis=1) / length.astype(x.dtype)  # [B, C]
+        else:
+            pooled = jnp.mean(x, axis=1)  # [B, C]
 
         n_fft = conv_n_fft(T, self.kernel_len)
         fbins = n_fft // 2 + 1
@@ -116,7 +128,6 @@ class FixedSpectralBlock(nn.Module):
 
         # ---- gating ("valve")
         g_freq = jax.nn.sigmoid(gate_freq_logits[:fbins])  # [F]
-        pooled = jnp.mean(x, axis=1)  # [B, C]
         g_ctx = jax.nn.sigmoid(
             nn.Dense(C, kernel_init=nn.initializers.zeros, bias_init=_gate_bias_init, name="gate_ctx")(pooled)
         )  # [B, C]
@@ -176,11 +187,12 @@ class FixedSpectralLM(nn.Module):
         x: jax.Array,
         cutoff: Optional[jax.Array] = None,
         deterministic: bool = True,
+        length: Optional[jax.Array] = None,
     ) -> jax.Array:
         """x: [B, T] int32 byte ids -> final hidden states [B, T, C]."""
         h = self.embed(x)
         for blk in self.blocks:
-            h = blk(h, cutoff=cutoff, deterministic=deterministic)
+            h = blk(h, cutoff=cutoff, deterministic=deterministic, length=length)
         return self.ln_f(h)
 
     def __call__(
@@ -188,7 +200,8 @@ class FixedSpectralLM(nn.Module):
         x: jax.Array,
         cutoff: Optional[jax.Array] = None,
         deterministic: bool = True,
+        length: Optional[jax.Array] = None,
     ) -> jax.Array:
         """x: [B, T] int32 -> logits [B, T, V] (weight-tied via embed.T)."""
-        h = self.forward_hidden(x, cutoff=cutoff, deterministic=deterministic)
+        h = self.forward_hidden(x, cutoff=cutoff, deterministic=deterministic, length=length)
         return h @ self.embed.embedding.T

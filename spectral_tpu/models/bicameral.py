@@ -55,13 +55,19 @@ class BicameralBlock(nn.Module):
         x: jax.Array,
         cutoff: Optional[jax.Array] = None,
         deterministic: bool = True,
+        length: Optional[jax.Array] = None,
     ) -> jax.Array:
         B, T, C = x.shape
         max_freq_bins = conv_freq_bins(self.seq_len, self.kernel_len)
 
         residual = x
         x = nn.LayerNorm(name="ln")(x)
-        pooled = jnp.mean(x, axis=1)  # [B, C] shared context summary
+        if length is not None:
+            valid = (jnp.arange(T) < length).astype(x.dtype)[None, :, None]
+            x = x * valid
+            pooled = jnp.sum(x, axis=1) / length.astype(x.dtype)
+        else:
+            pooled = jnp.mean(x, axis=1)  # [B, C] shared context summary
 
         # ============================================================
         # RIGHT BRAIN: frequency path (follows the curriculum cutoff)

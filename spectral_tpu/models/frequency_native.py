@@ -149,6 +149,7 @@ class FrequencyNativeBlock(nn.Module):
         x: jax.Array,
         cutoff: Optional[jax.Array] = None,
         deterministic: bool = True,
+        length: Optional[jax.Array] = None,
     ) -> jax.Array:
         B, T, C = x.shape
         max_freq_bins = conv_freq_bins(self.seq_len, self.kernel_len)
@@ -159,6 +160,12 @@ class FrequencyNativeBlock(nn.Module):
 
         residual = x
         x = nn.LayerNorm(name="ln")(x)
+        if length is not None:
+            valid = (jnp.arange(T) < length).astype(x.dtype)[None, :, None]
+            x = x * valid
+            pooled = jnp.sum(x, axis=1) / length.astype(x.dtype)
+        else:
+            pooled = jnp.mean(x, axis=1)
 
         n_fft = conv_n_fft(T, self.kernel_len)
         fbins = n_fft // 2 + 1
@@ -168,7 +175,6 @@ class FrequencyNativeBlock(nn.Module):
         y_freq = frequency_conv(x_freq, k_freq, gain)
 
         g_freq = jax.nn.sigmoid(gate_freq_logits[:fbins])
-        pooled = jnp.mean(x, axis=1)
         g_ctx = jax.nn.sigmoid(
             nn.Dense(C, kernel_init=nn.initializers.zeros, bias_init=_gate_bias_init, name="gate_ctx")(pooled)
         )
