@@ -1,0 +1,78 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.json): spectral-mix tokens/sec/chip at seq 4k.
+
+Baseline derivation (BASELINE.md): the reference's GTX 1660 Super headline is
+SpectralMixingLayer fwd at B=8, D=256: 2.16 ms @ seq 2048 (BENCHMARKS.md:17).
+Throughput there = 8*2048/2.16e-3 = 7.59e6 tok/s; spectral-mix cost scales
+~linearly in T (O(T log T)), so the seq-4k baseline throughput is ~the same
+7.59e6 tok/s (2x tokens in 2x time).  vs_baseline = ours / 7.59e6.
+
+Usage: python bench.py            (runs on the default platform — real TPU)
+       python bench.py --quick    (smaller iters, for smoke testing)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_TOK_S = 8 * 2048 / 2.16e-3  # reference GTX 1660 Super, BENCHMARKS.md:17
+
+
+def bench_spectral_mix(seq: int = 4096, batch: int = 8, dim: int = 256, iters: int = 50, warmup: int = 5):
+    import jax
+    import jax.numpy as jnp
+
+    from spectral_tpu.layers.spectral_layers import SpectralMixingLayer
+
+    layer = SpectralMixingLayer(embed_dim=dim)
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, seq, dim), jnp.float32)
+    params = layer.init(jax.random.PRNGKey(1), x)
+
+    fwd = jax.jit(lambda p, x: layer.apply(p, x))
+    for _ in range(warmup):
+        jax.block_until_ready(fwd(params, x))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    tokens_per_sec = batch * seq / dt
+    return tokens_per_sec, dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--seq", type=int, default=4096)
+    args = ap.parse_args()
+
+    iters = 10 if args.quick else 50
+    try:
+        tok_s, dt = bench_spectral_mix(seq=args.seq, iters=iters)
+        result = {
+            "metric": "spectral_mix_tokens_per_sec_seq4k",
+            "value": round(tok_s, 1),
+            "unit": "tokens/sec/chip",
+            "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+        }
+    except Exception as e:  # emit a parseable failure record
+        result = {
+            "metric": "spectral_mix_tokens_per_sec_seq4k",
+            "value": 0.0,
+            "unit": "tokens/sec/chip",
+            "vs_baseline": 0.0,
+            "error": str(e)[:200],
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

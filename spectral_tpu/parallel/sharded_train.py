@@ -1,0 +1,89 @@
+"""pjit-sharded training step over a (dp, sp, tp) mesh.
+
+The jitted step is the same math as train.trainer.make_train_step; sharding
+is expressed declaratively: batches sharded (dp, sp), params per
+mesh.param_pspecs, optimizer state following the params.  XLA inserts the ICI
+collectives (grad psum over dp, FFN psum over tp, re-shards around the FFT).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spectral_tpu.models.config import TrainConfig
+from spectral_tpu.parallel.mesh import batch_pspec, param_pspecs
+from spectral_tpu.train.evaluate import cross_entropy
+
+
+def make_sharded_train_step(model, cfg: TrainConfig, tx, mesh: Mesh) -> Callable:
+    """Build the sharded (params, opt_state, bx, by, cutoff, lr, rng) step.
+
+    bx/by: [accum, B, T] int32 sharded P(None, dp, sp).
+    """
+
+    def loss_fn(params, bx, by, cutoff, rng):
+        logits = model.apply(
+            {"params": params},
+            bx,
+            cutoff=cutoff,
+            deterministic=cfg.dropout == 0.0,
+            rngs=None if cfg.dropout == 0.0 else {"dropout": rng},
+        )
+        return cross_entropy(logits, by)
+
+    def step(params, opt_state, bx, by, cutoff, lr, rng):
+        accum = bx.shape[0]
+
+        def micro(carry, xs):
+            g_acc, l_acc, rng = carry
+            mbx, mby = xs
+            rng, sub = jax.random.split(rng)
+            l, g = jax.value_and_grad(loss_fn)(params, mbx, mby, cutoff, sub)
+            return (jax.tree.map(lambda a, b: a + b, g_acc, g), l_acc + l, rng), None
+
+        g0 = jax.tree.map(jnp.zeros_like, params)
+        (g, loss_sum, _), _ = jax.lax.scan(micro, (g0, 0.0, rng), (bx, by))
+        g = jax.tree.map(lambda a: a / accum, g)
+
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_sum / accum
+
+    # --- sharding declarations
+    pspecs = None
+
+    def build(params_example, opt_state_example):
+        """Returns (jitted_step, opt_state) with the opt state committed to
+        the mesh (param-following shardings for moments, replicated scalars)."""
+        nonlocal pspecs
+        pspecs = param_pspecs(params_example)
+        param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs)
+
+        replicated = NamedSharding(mesh, P())
+
+        def commit_opt(leaf):
+            sh = getattr(leaf, "sharding", None)
+            if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+                return leaf  # moments already follow their param's sharding
+            return jax.device_put(leaf, replicated)
+
+        opt_state_example = jax.tree.map(commit_opt, opt_state_example)
+        opt_sh = jax.tree.map(lambda l: l.sharding, opt_state_example)
+
+        data_sh = NamedSharding(mesh, batch_pspec(with_accum=True))
+        jitted = jax.jit(
+            step,
+            in_shardings=(param_sh, opt_sh, data_sh, data_sh, replicated, replicated, replicated),
+            out_shardings=(param_sh, opt_sh, replicated),
+            donate_argnums=(0, 1),
+        )
+        return jitted, opt_state_example
+
+    return build
