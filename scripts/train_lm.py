@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 
+from scripts._common import apply_platform_env
 from spectral_tpu.models.config import TrainConfig
 from spectral_tpu.train.trainer import train
 
@@ -91,6 +92,7 @@ def cfg_from_args(args: argparse.Namespace) -> TrainConfig:
 
 
 def main(argv=None) -> None:
+    apply_platform_env()
     args = build_parser().parse_args(argv)
     cfg = cfg_from_args(args)
 

@@ -1,0 +1,18 @@
+"""spectral_tpu.streaming — O(1)-in-history decoders.
+
+The reference's "infinite context" machinery (SURVEY.md §2.10 row 4):
+
+* ``fir``          — O(K)/token FIR ring-buffer streaming
+  (reference: scripts/stream_generate_fast.py).
+* ``overlap_save`` — exact per-chunk overlap-save FFT state updates
+  (reference: scripts/generate_chunked_overlap_save.py, the README-recommended
+  path).
+
+Both are expressed as pure (params, state) -> (state, out) functions that jit
+and ``lax.scan`` cleanly.
+"""
+
+from spectral_tpu.streaming.fir import FIRStream
+from spectral_tpu.streaming.overlap_save import OverlapSaveStream
+
+__all__ = ["FIRStream", "OverlapSaveStream"]

@@ -37,6 +37,11 @@ from spectral_tpu.train.evaluate import cross_entropy, eval_loss, parroting_scor
 from spectral_tpu.train.sampling import generate, safe_console
 
 
+def _print_flush(s: str) -> None:
+    """Default logger: unbuffered print (console contract, SURVEY.md §5.5)."""
+    print(s, flush=True)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW + global-norm clipping; LR injected per step via inject_hyperparams."""
     return optax.inject_hyperparams(
@@ -128,7 +133,7 @@ def count_params(params) -> int:
 
 
 def train(cfg: TrainConfig, *, resume: bool = False, no_sawtooth: bool = False,
-          no_val: bool = False, log: Callable[[str], None] = print) -> dict:
+          no_val: bool = False, log: Callable[[str], None] = _print_flush) -> dict:
     """Full training run.  Returns {"params": ..., "state": ..., "val": ...}."""
     np_rng = np.random.default_rng(cfg.seed)
 

@@ -1,0 +1,153 @@
+"""Streaming decoders vs full recompute — the exactness gates.
+
+With the per-frequency gate fully open (logits >> 0 => sigmoid ~ 1) and the
+context gate at its zero-init (constant), BOTH streaming decoders are exact
+reformulations of the causal conv, so their outputs must match the full
+forward to float tolerance.  (With active frequency gates the FIR path is an
+approximation by design — reference stream_generate_fast.py:93-96.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.models.backbone import FixedSpectralLM
+from spectral_tpu.models.chunk_head import ChunkLM
+from spectral_tpu.models.config import TrainConfig
+from spectral_tpu.streaming.fir import FIRStream
+from spectral_tpu.streaming.overlap_save import OverlapSaveStream
+
+
+def tiny_cfg(**kw):
+    base = dict(d_model=32, n_layers=2, seq_len=64, kernel_len=8, jpeg_transition=8, dropout=0.0)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def make_model(cfg, seed=0, open_freq_gate=True, randomize=True):
+    model = FixedSpectralLM(cfg)
+    x = jnp.zeros((1, cfg.seq_len), jnp.int32)
+    params = model.init(jax.random.PRNGKey(seed), x)["params"]
+    if randomize:
+        # randomize kernels/gains/ffn so the test is non-trivial, but keep
+        # gate_ctx at zero-init (constant gate — required for exactness)
+        def jitter(path, leaf):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            if "gate_ctx" in name or "gate_freq" in name:
+                return leaf
+            key = jax.random.PRNGKey(hash(name) % (2**31))
+            return leaf + 0.05 * jax.random.normal(key, leaf.shape)
+
+        params = jax.tree_util.tree_map_with_path(jitter, params)
+    if open_freq_gate:
+        params = jax.tree_util.tree_map_with_path(
+            lambda p, l: jnp.full_like(l, 20.0)
+            if any("gate_freq_logits" == str(getattr(k, "key", k)) for k in p)
+            else l,
+            params,
+        )
+    return model, params
+
+
+class TestFIRStream:
+    def test_matches_full_forward(self):
+        cfg = tiny_cfg()
+        model, params = make_model(cfg)
+        rng = np.random.default_rng(0)
+        prefix = rng.integers(0, 256, (1, 40)).astype(np.int32)
+
+        full_logits = np.asarray(model.apply({"params": params}, jnp.asarray(prefix)))[0]
+
+        stream = FIRStream(params, cfg)
+        state = stream.init_state(batch=1)
+        got = []
+        for t in range(prefix.shape[1]):
+            state, logits = stream.next_logits(state, prefix[:, t])
+            got.append(np.asarray(logits[0]))
+        got = np.stack(got)  # logits after feeding token t == full logits at pos t
+        np.testing.assert_allclose(got, full_logits, rtol=1e-4, atol=1e-4)
+
+    def test_warmup_equals_stepping(self):
+        cfg = tiny_cfg()
+        model, params = make_model(cfg)
+        rng = np.random.default_rng(1)
+        prefix = rng.integers(0, 256, (1, 20)).astype(np.int32)
+
+        s1 = FIRStream(params, cfg)
+        st = s1.init_state(1)
+        st = s1.warmup(st, prefix[:, :-1])
+        st, logits_w = s1.next_logits(st, prefix[:, -1])
+
+        st2 = s1.init_state(1)
+        for t in range(prefix.shape[1]):
+            st2, logits_s = s1.next_logits(st2, prefix[:, t])
+        np.testing.assert_allclose(np.asarray(logits_w), np.asarray(logits_s), rtol=1e-5, atol=1e-5)
+
+    def test_generate_smoke(self):
+        cfg = tiny_cfg(max_new=16)
+        model, params = make_model(cfg)
+        stream = FIRStream(params, cfg)
+        out = stream.generate("hello", max_new=16, seed=0)
+        assert len(out.encode("utf-8", errors="ignore")) >= 16
+
+
+class TestOverlapSaveStream:
+    def test_state_update_matches_full_recompute(self):
+        """After init on a T-window and two chunk updates, h_last must equal
+        the full forward over the slid window."""
+        cfg = tiny_cfg()
+        model, params = make_model(cfg)
+        rng = np.random.default_rng(2)
+        T = cfg.seq_len
+        init_ids = rng.integers(0, 256, (1, T)).astype(np.int32)
+
+        stream = OverlapSaveStream(params, cfg)
+        state = stream.init_state(init_ids)
+
+        # init h_last must equal the full forward
+        h_full = np.asarray(
+            model.apply({"params": params}, jnp.asarray(init_ids), method=FixedSpectralLM.forward_hidden)
+        )
+        np.testing.assert_allclose(np.asarray(state["h_last"]), h_full[:, -1, :], rtol=1e-4, atol=1e-4)
+
+        # two chunks of 8 fixed bytes
+        history = list(init_ids[0])
+        for c in range(2):
+            new_bytes = rng.integers(0, 256, 8).tolist()
+            history.extend(new_bytes)
+            state = stream.update_chunk(state, new_bytes)
+
+        window = np.asarray([history[-T:]], np.int32)
+        h_full2 = np.asarray(
+            model.apply({"params": params}, jnp.asarray(window), method=FixedSpectralLM.forward_hidden)
+        )
+        np.testing.assert_allclose(np.asarray(state["h_last"]), h_full2[:, -1, :], rtol=1e-3, atol=1e-3)
+
+    def test_chunk_head_generation(self):
+        cfg = tiny_cfg()
+        backbone = FixedSpectralLM(cfg)
+        clm = ChunkLM(backbone=backbone, chunk=8)
+        x = jnp.zeros((1, cfg.seq_len), jnp.int32)
+        params = clm.init(jax.random.PRNGKey(0), x)["params"]
+        # ChunkLM nests backbone params under 'backbone'
+        stream = OverlapSaveStream(
+            params["backbone"], cfg, head_params=params["head"], chunk=8
+        )
+        out = stream.generate_chunks("once upon", n_chunks=3, seed=0)
+        assert len(out.encode("utf-8", errors="replace")) >= 24
+
+    def test_streaming_cost_independent_of_history(self):
+        """The state size must not grow with generated length (O(1) history)."""
+        cfg = tiny_cfg()
+        model, params = make_model(cfg)
+        rng = np.random.default_rng(3)
+        stream = OverlapSaveStream(params, cfg)
+        state = stream.init_state(rng.integers(0, 256, (1, cfg.seq_len)).astype(np.int32))
+
+        def state_bytes(s):
+            return sum(np.asarray(l).nbytes for l in jax.tree.leaves(s))
+
+        before = state_bytes(state)
+        for _ in range(5):
+            state = stream.update_chunk(state, rng.integers(0, 256, 8).tolist())
+        assert state_bytes(state) == before
