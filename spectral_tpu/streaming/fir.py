@@ -57,7 +57,9 @@ class FIRStream:
     """
 
     def __init__(self, params: dict, cfg: TrainConfig):
-        self.params = params
+        # checkpoints restore as numpy leaves; commit to device arrays so the
+        # pure functions can close over them under jit
+        self.params = jax.tree.map(jnp.asarray, params)
         self.cfg = cfg
         self.n_layers = cfg.n_layers
         self.kernel_len = cfg.kernel_len

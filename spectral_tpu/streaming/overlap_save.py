@@ -43,12 +43,12 @@ class OverlapSaveStream:
         head_params: Optional[dict] = None,
         chunk: Optional[int] = None,
     ):
-        self.params = params
+        self.params = jax.tree.map(jnp.asarray, params)
         self.cfg = cfg
         self.n_layers = cfg.n_layers
         self.kernel_len = cfg.kernel_len
         self.n_fft = conv_n_fft(cfg.seq_len, cfg.kernel_len)
-        self.head_params = head_params
+        self.head_params = None if head_params is None else jax.tree.map(jnp.asarray, head_params)
         self.chunk = chunk
         self._init_fn = jax.jit(self._init_impl)
         self._update = jax.jit(self._update_impl)
