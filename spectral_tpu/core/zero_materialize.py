@@ -1,0 +1,293 @@
+"""Zero-materialization operations: pure frequency-domain math.
+
+Reference: fft_tensor/zero_materialize.py.
+
+Two families:
+
+* ``frequency_linear`` — the reference's spectral mixing "linear": FFT the
+  input along features, broadcast-multiply against a (D_in, D_out) complex
+  weight spectrum, sum over D_in, IFFT along D_out.  Preserved verbatim —
+  it is its own operator (not x @ ifft(W)), and the weights never
+  materialize as a dense spatial matrix.
+
+* ``frequency_convNd`` — convolution via the convolution theorem, with
+  **corrected** semantics: the reference's circular FFT conv + ad-hoc
+  cropping did not reproduce ``F.conv`` (its conv-theorem test suite was
+  failing and then deleted, SURVEY.md §4 "known state").  Here the kernel
+  spectrum is inverted to its K taps (K numbers — not a materialization of
+  anything big), the conv runs as a zero-padded LINEAR convolution at
+  next_pow2(L+K-1), and the output is cropped to exactly match
+  ``jax.lax.conv`` / torch ``F.convNd`` with the given stride/padding.
+  The parity gates in tests/unit/test_zero_materialize.py are the revival of
+  the deleted ``tests/test_multidim_conv.py`` — passing this time.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from spectral_tpu.ops.fftc import next_pow2
+
+
+class ConvolutionTheoremMatMul:
+    """Namespace mirroring the reference class (zero_materialize.py:26-317)."""
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def frequency_linear(x: jax.Array, w_freq: jax.Array, bias: Optional[jax.Array] = None) -> jax.Array:
+        """Spectral-mixing linear: y = IFFT_Dout( sum_Din FFT_Din(x) * W ).
+
+        x: (B, N, D_in) real; w_freq: (D_in, D_out) complex (sparse in
+        practice); returns (B, N, D_out) real.  The dense spatial weight
+        matrix never exists.
+        """
+        B, N, D_in = x.shape
+        assert w_freq.shape[0] == D_in
+        x_freq = jnp.fft.fft(x.astype(jnp.float32), axis=-1)  # (B, N, D_in)
+        # einsum = broadcast multiply + sum over D_in in one contraction
+        y_freq = jnp.einsum("bnd,de->bne", x_freq, w_freq)
+        y = jnp.fft.ifft(y_freq, axis=-1).real
+        if bias is not None:
+            y = y + bias
+        return y.astype(x.dtype)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _fft_convnd(x: jax.Array, kernel: jax.Array, ndim: int, stride, padding) -> jax.Array:
+        """Exact linear convolution of (B, C_in, *S) with (C_out, C_in, *K)
+        via zero-padded FFT; matches lax.conv with 'VALID' after padding.
+
+        Note: follows torch F.conv semantics = CROSS-CORRELATION of x with
+        the kernel (no flip), like lax.conv.
+        """
+        B = x.shape[0]
+        C_out, C_in = kernel.shape[0], kernel.shape[1]
+        spatial = x.shape[2:]
+        ks = kernel.shape[2:]
+        stride = (stride,) * ndim if isinstance(stride, int) else tuple(stride)
+        padding = (padding,) * ndim if isinstance(padding, int) else tuple(padding)
+
+        # zero-pad the input per requested conv padding
+        pad_cfg = [(0, 0), (0, 0)] + [(p, p) for p in padding]
+        x = jnp.pad(x.astype(jnp.float32), pad_cfg)
+        spatial = x.shape[2:]
+
+        # FFT sizes for LINEAR convolution
+        n_fft = tuple(next_pow2(s + k - 1) for s, k in zip(spatial, ks))
+        axes = tuple(range(2, 2 + ndim))
+
+        x_pad = jnp.pad(x, [(0, 0), (0, 0)] + [(0, n - s) for n, s in zip(n_fft, spatial)])
+        # cross-correlation == convolution with the reversed kernel
+        k_rev = kernel.astype(jnp.float32)
+        for ax in range(2, 2 + ndim):
+            k_rev = jnp.flip(k_rev, axis=ax)
+        k_pad = jnp.pad(k_rev, [(0, 0), (0, 0)] + [(0, n - k) for n, k in zip(n_fft, ks)])
+
+        x_freq = jnp.fft.rfftn(x_pad, axes=axes)  # (B, C_in, *F)
+        k_freq = jnp.fft.rfftn(k_pad, axes=axes)  # (C_out, C_in, *F)
+        y_freq = jnp.einsum("bi...,oi...->bo...", x_freq, k_freq)
+        y = jnp.fft.irfftn(y_freq, s=n_fft, axes=axes)
+
+        # 'valid' cross-correlation outputs live at offsets [K-1, S-1]
+        sl = [slice(None), slice(None)]
+        for s, k, st in zip(spatial, ks, stride):
+            sl.append(slice(k - 1, s, st))
+        return y[tuple(sl)]
+
+    @staticmethod
+    def frequency_conv1d(x: jax.Array, w_freq: jax.Array, stride: int = 1, padding: int = 0) -> jax.Array:
+        """1-D conv via the theorem.  x: (B, C_in, L); w_freq: (C_out, C_in, K)
+        = FFT of the K-tap kernels along the last axis."""
+        kernel = jnp.fft.ifft(w_freq, axis=-1).real  # K taps per filter
+        return ConvolutionTheoremMatMul._fft_convnd(x, kernel, 1, stride, padding)
+
+    @staticmethod
+    def frequency_conv2d(
+        x: jax.Array, w_freq: jax.Array, stride: Tuple[int, int] = (1, 1), padding: Tuple[int, int] = (0, 0)
+    ) -> jax.Array:
+        """2-D conv via the theorem.  w_freq: (C_out, C_in, Kh, Kw) = fft2 of
+        the kernels."""
+        kernel = jnp.fft.ifft2(w_freq, axes=(-2, -1)).real
+        return ConvolutionTheoremMatMul._fft_convnd(x, kernel, 2, stride, padding)
+
+    @staticmethod
+    def frequency_conv3d(
+        x: jax.Array,
+        w_freq: jax.Array,
+        stride: Tuple[int, int, int] = (1, 1, 1),
+        padding: Tuple[int, int, int] = (0, 0, 0),
+    ) -> jax.Array:
+        """3-D conv via the theorem.  w_freq: (C_out, C_in, Kd, Kh, Kw)."""
+        kernel = jnp.fft.ifftn(w_freq, axes=(-3, -2, -1)).real
+        return ConvolutionTheoremMatMul._fft_convnd(x, kernel, 3, stride, padding)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def frequency_linear_batched(
+        x_batch: jax.Array, w_freq: jax.Array, bias: Optional[jax.Array] = None, chunk_size: int = 32
+    ) -> jax.Array:
+        """Chunked frequency_linear for very large batches (reference
+        :264-317) — bounds the (chunk, N, D_in) complex intermediate."""
+        B = x_batch.shape[0]
+        outs = []
+        for start in range(0, B, chunk_size):
+            outs.append(
+                ConvolutionTheoremMatMul.frequency_linear(x_batch[start : start + chunk_size], w_freq, None)
+            )
+        out = jnp.concatenate(outs, axis=0)
+        if bias is not None:
+            out = out + bias
+        return out
+
+
+# Functional aliases (reference :572-591)
+frequency_linear = ConvolutionTheoremMatMul.frequency_linear
+frequency_conv1d = ConvolutionTheoremMatMul.frequency_conv1d
+frequency_conv2d = ConvolutionTheoremMatMul.frequency_conv2d
+frequency_conv3d = ConvolutionTheoremMatMul.frequency_conv3d
+
+
+# ---------------------------------------------------------------------------
+# WirtingerAutograd (second copy, NO batch sum — reference :320-372)
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def wirtinger_autograd_multiply(x_freq: jax.Array, w_freq: jax.Array) -> jax.Array:
+    """y = x * w with per-element Wirtinger grads (no batch reduction).
+
+    This mirrors the reference's second Wirtinger Function
+    (zero_materialize.py:320-372), whose grad_w is NOT summed over batch.
+    Formulas are expressed in JAX's conjugate cotangent convention
+    (see spectral_tpu.ops.wirtinger).
+    """
+    return x_freq * w_freq
+
+
+def _wam_fwd(x, w):
+    return x * w, (x, w)
+
+
+def _wam_bwd(res, g):
+    x, w = res
+    return g * w, g * x
+
+
+wirtinger_autograd_multiply.defvjp(_wam_fwd, _wam_bwd)
+
+
+# ---------------------------------------------------------------------------
+# FrequencyLinearLayer (reference :375-452)
+# ---------------------------------------------------------------------------
+
+
+def sparse_freq_init(key, out_features: int, in_features: int, sparsity: float):
+    """Reference init: N(0, 0.02) spatial -> FFT -> top-k per row."""
+    spatial = jax.random.normal(key, (out_features, in_features)) * 0.02
+    freq = jnp.fft.fft(spatial, axis=-1)
+    k = max(1, int(in_features * sparsity))
+    mag = jnp.abs(freq)
+    kth = jnp.sort(mag, axis=-1)[:, -k][:, None]
+    mask = (mag >= kth).astype(jnp.float32)
+    return freq * mask
+
+
+class FrequencyLinearLayer(nn.Module):
+    """Drop-in ``Dense`` replacement storing sparse complex frequency weights.
+
+    ``learn_phase=True``  — full complex weights learnable (real+imag leaves).
+    ``learn_phase=False`` — magnitude learnable, phase frozen at init.
+    The dense spatial weight matrix is never materialized.
+    """
+
+    in_features: int
+    out_features: int
+    sparsity: float = 0.01
+    use_bias: bool = True
+    learn_phase: bool = True
+    phase_seed: int = 0  # deterministic init for the learn_phase=False branch
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        def init_freq(key):
+            return sparse_freq_init(key, self.out_features, self.in_features, self.sparsity)
+
+        if self.learn_phase:
+            # one param holding [real, imag] so both parts come from the SAME
+            # random sparse spectrum (the reference splits one complex init)
+            w_ri = self.param(
+                "weight_freq_ri",
+                lambda k: jnp.stack([jnp.real(init_freq(k)), jnp.imag(init_freq(k))]),
+            )
+            w_freq = jax.lax.complex(w_ri[0], w_ri[1])
+        else:
+            # magnitude learnable, phase frozen — both from the SAME init
+            # matrix (deterministic seed) so they describe one weight
+            fixed = sparse_freq_init(
+                jax.random.PRNGKey(self.phase_seed), self.out_features, self.in_features, self.sparsity
+            )
+            mag = self.param("weight_magnitude", lambda k: jnp.abs(fixed))
+            phase = self.variable("buffers", "weight_phase", lambda: jnp.angle(fixed)).value
+            w_freq = jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
+
+        bias = self.param("bias", nn.initializers.zeros, (self.out_features,)) if self.use_bias else None
+        # reference convention: w stored (out, in); frequency_linear takes (in, out)
+        return ConvolutionTheoremMatMul.frequency_linear(x, w_freq.T, bias)
+
+    @staticmethod
+    def compress_ratio_of(params: dict, in_features: int, out_features: int) -> float:
+        w = params.get("weight_freq_ri")
+        if w is not None:
+            w = np.asarray(w)
+            nz = int(np.count_nonzero(np.abs(w[0] + 1j * w[1]) > 1e-8))
+        else:
+            nz = int(np.count_nonzero(np.abs(np.asarray(params["weight_magnitude"])) > 1e-8))
+        return (in_features * out_features) / max(nz, 1)
+
+
+# ---------------------------------------------------------------------------
+# LogarithmicQuantizer (reference :455-568)
+# ---------------------------------------------------------------------------
+
+
+class LogarithmicQuantizer:
+    """log8: 1 sign bit + 7 log-mantissa bits. Frequency coefficients follow
+    a 1/f power law — log quantization gives small values precision and
+    large values range."""
+
+    @staticmethod
+    def log8_encode(x: jax.Array) -> jax.Array:
+        sign = (x >= 0).astype(jnp.uint8)
+        magnitude = jnp.abs(x)
+        log_mag = jnp.log2(magnitude + 1e-8)
+        quantized = jnp.clip((log_mag + 8) / 16 * 127, 0, 127).astype(jnp.uint8)
+        return (sign << 7) | quantized
+
+    @staticmethod
+    def log8_decode(encoded: jax.Array) -> jax.Array:
+        sign = ((encoded >> 7) & 1).astype(jnp.float32) * 2 - 1
+        quantized = (encoded & 0x7F).astype(jnp.float32)
+        log_mag = (quantized / 127) * 16 - 8
+        return sign * jnp.power(2.0, log_mag)
+
+    @staticmethod
+    def compress_sparse_freq(freq_coeffs: jax.Array, indices: jax.Array):
+        """complex64 coeffs -> (uint8 real, uint8 imag): 4x smaller."""
+        return (
+            LogarithmicQuantizer.log8_encode(jnp.real(freq_coeffs)),
+            LogarithmicQuantizer.log8_encode(jnp.imag(freq_coeffs)),
+        )
+
+    @staticmethod
+    def decompress_sparse_freq(compressed_real, compressed_imag, indices, shape):
+        real = LogarithmicQuantizer.log8_decode(compressed_real)
+        imag = LogarithmicQuantizer.log8_decode(compressed_imag)
+        n = int(np.prod(shape))
+        re = jnp.zeros((n,), jnp.float32).at[indices].set(real)
+        im = jnp.zeros((n,), jnp.float32).at[indices].set(imag)
+        return jax.lax.complex(re, im).reshape(shape)

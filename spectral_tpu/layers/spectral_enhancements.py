@@ -1,0 +1,137 @@
+"""Spectral enhancements: solving "too much invariance".
+
+Reference: fft_tensor/spectral_enhancements.py.  FFT mixing is
+shift-invariant — these layers anchor phase to position (RoPE on feature
+pairs), gate frequencies by context, mix magnitude/phase separately, enforce
+crude causality, and process frequency bands at multiple scales.
+
+TPU notes: band splits use elementwise band masks (scatter-free complex),
+polar reconstruction uses cos/sin.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _polar(mag, phase):
+    return jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
+
+
+class RotaryFrequencyEmbedding(nn.Module):
+    """RoPE applied to feature-pair complex view of a TIME-domain tensor
+    (reference :20-71): pairs (x0, x1) rotate by e^{i pos theta_k}."""
+
+    dim: int
+    max_seq_len: int = 4096
+    base: float = 10000.0
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, T, D = x.shape
+        inv_freq = 1.0 / (self.base ** (jnp.arange(0, self.dim, 2, dtype=jnp.float32) / self.dim))
+        freqs = jnp.outer(jnp.arange(T, dtype=jnp.float32), inv_freq)  # (T, D//2)
+        rot = _polar(jnp.ones_like(freqs), freqs)[None]  # (1, T, D//2)
+
+        x_pairs = x.reshape(B, T, -1, 2)
+        x_complex = jax.lax.complex(x_pairs[..., 0], x_pairs[..., 1])
+        rotated = x_complex * rot[:, :, : x_complex.shape[-1]]
+        out = jnp.stack([jnp.real(rotated), jnp.imag(rotated)], axis=-1)
+        return out.reshape(B, T, D).astype(x.dtype)
+
+
+class GatedSpectralUnit(nn.Module):
+    """GLU blend: sigmoid gate mixes value vs transform (reference :74-115)."""
+
+    dim: int
+    num_gates: int = 8  # kept for API parity (unused, as in the reference)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gate_input = nn.Dense(self.dim * 2, name="gate_proj")(x)
+        gate_input = nn.LayerNorm(name="gate_ln")(gate_input)
+        gate, value_transform = jnp.split(gate_input, 2, axis=-1)
+        gate = jax.nn.sigmoid(gate)
+        value = nn.Dense(self.dim, name="value_proj")(x)
+        return gate * value + (1 - gate) * value_transform
+
+
+class PhaseAwareSpectralMixing(nn.Module):
+    """rfft -> learnable per-bin magnitude multiply + phase add -> irfft
+    (reference :118-166).  Filters are indexed per rFFT bin of the LAST axis
+    (the reference filters along the feature axis of the rfft'd time axis —
+    shape broadcast preserved)."""
+
+    dim: int
+    learnable: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        T = x.shape[1]
+        if self.learnable:
+            mag_filter = self.param("magnitude_filter", nn.initializers.ones, (self.dim,))
+            phase_filter = self.param("phase_filter", nn.initializers.zeros, (self.dim,))
+        else:
+            mag_filter = jnp.ones((self.dim,))
+            phase_filter = jnp.zeros((self.dim,))
+
+        x_freq = jnp.fft.rfft(x.astype(jnp.float32), axis=1)
+        magnitude = jnp.abs(x_freq)
+        phase = jnp.angle(x_freq)
+        d = x_freq.shape[-1]
+        filtered = _polar(magnitude * mag_filter[:d], phase + phase_filter[:d])
+        return jnp.fft.irfft(filtered, n=T, axis=1).astype(x.dtype)
+
+
+class CausalFrequencyMask(nn.Module):
+    """Crude causality: half-window time-domain mask (reference :169-211)."""
+
+    max_seq_len: int = 4096
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        T = x.shape[1]
+        window = (jnp.arange(T) < T // 2).astype(x.dtype)
+        return x * window[None, :, None]
+
+
+class MultiScaleSpectralFeatures(nn.Module):
+    """Split the rFFT into low/mid/high bands, per-band irfft + Dense, fuse
+    (reference :214-275)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        T = x.shape[1]
+        x_freq = jnp.fft.rfft(x.astype(jnp.float32), axis=1)
+        K = x_freq.shape[1]
+        low_k, mid_k = K // 4, K // 2
+        bins = jnp.arange(K)
+
+        def band(lo, hi, name):
+            mask = ((bins >= lo) & (bins < hi)).astype(jnp.float32)
+            feats = jnp.fft.irfft(x_freq * mask[None, :, None], n=T, axis=1).astype(x.dtype)
+            return nn.Dense(self.dim, name=name)(feats)
+
+        low = band(0, low_k, "low_freq")
+        mid = band(low_k, mid_k, "mid_freq")
+        high = band(mid_k, K, "high_freq")
+        return nn.Dense(self.dim, name="fusion")(jnp.concatenate([low, mid, high], axis=-1))
+
+
+class EnhancedSpectralBlock(nn.Module):
+    """RoPE + phase-aware mixing + GLU + multi-scale, all with pre-norm
+    residuals (reference :278-332)."""
+
+    dim: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        drop = lambda h: nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        x = x + drop(RotaryFrequencyEmbedding(self.dim, name="rope")(nn.LayerNorm(name="norm1")(x)))
+        x = x + drop(PhaseAwareSpectralMixing(self.dim, name="phase_mixing")(nn.LayerNorm(name="norm2")(x)))
+        x = x + drop(GatedSpectralUnit(self.dim, name="gated")(nn.LayerNorm(name="norm3")(x)))
+        x = x + drop(MultiScaleSpectralFeatures(self.dim, name="multi_scale")(x))
+        return x

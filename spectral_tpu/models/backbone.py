@@ -89,6 +89,7 @@ class FixedSpectralBlock(nn.Module):
     transition_bins: int
     dropout: float = 0.1
     ffn_mult: int = 2
+    use_pallas_kernel: bool = False  # fused FFT->filter->IFFT Pallas path
 
     @nn.compact
     def __call__(
@@ -122,22 +123,28 @@ class FixedSpectralBlock(nn.Module):
         n_fft = conv_n_fft(T, self.kernel_len)
         fbins = n_fft // 2 + 1
 
-        x_freq = rfft_time(x, n_fft)  # [B, F, C] complex64
         k_freq = kernel_rfft(kernel, n_fft)  # [F]
-        y_freq = x_freq * k_freq[None, :, None] * gain[None, None, :].astype(jnp.complex64)
-
-        # ---- gating ("valve")
         g_freq = jax.nn.sigmoid(gate_freq_logits[:fbins])  # [F]
         g_ctx = jax.nn.sigmoid(
             nn.Dense(C, kernel_init=nn.initializers.zeros, bias_init=_gate_bias_init, name="gate_ctx")(pooled)
         )  # [B, C]
-        y_freq = y_freq * g_freq[None, :, None] * g_ctx[:, None, :]
-
-        # ---- progressive frequency horizon (JPEG schedule)
         mask = cutoff_mask(fbins, cutoff, self.transition_bins)
-        y_freq = y_freq * mask[None, :, None]
 
-        y = irfft_time(y_freq, n_fft, T)  # causal: first T of the linear conv
+        if self.use_pallas_kernel:
+            # ONE VMEM-resident pass: FFT -> (k̂ · g_freq · mask) -> IFFT,
+            # real per-channel scales (gain · ctx gate) folded into the
+            # time-domain output — mathematically identical to the XLA path.
+            from spectral_tpu.ops.pallas_spectral import fused_spectral_conv
+
+            h_fused = k_freq * g_freq * mask  # [F] complex
+            scale = gain[None, :] * g_ctx  # [B, C]
+            y = fused_spectral_conv(x, h_fused, scale, n_fft)
+        else:
+            x_freq = rfft_time(x, n_fft)  # [B, F, C] complex64
+            y_freq = x_freq * k_freq[None, :, None] * gain[None, None, :].astype(jnp.complex64)
+            y_freq = y_freq * g_freq[None, :, None] * g_ctx[:, None, :]  # "valve"
+            y_freq = y_freq * mask[None, :, None]  # JPEG schedule roll-off
+            y = irfft_time(y_freq, n_fft, T)  # causal: first T of the linear conv
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         x = residual + y
 
@@ -169,6 +176,9 @@ class FixedSpectralLM(nn.Module):
             block_cls = FrequencyNativeBlock
         else:
             block_cls = FixedSpectralBlock
+        extra = {}
+        if block_cls is FixedSpectralBlock and cfg.use_pallas_kernel:
+            extra["use_pallas_kernel"] = True
         self.blocks = [
             block_cls(
                 d_model=cfg.d_model,
@@ -177,6 +187,7 @@ class FixedSpectralLM(nn.Module):
                 transition_bins=cfg.jpeg_transition,
                 dropout=cfg.dropout,
                 name=f"block_{i}",
+                **extra,
             )
             for i in range(cfg.n_layers)
         ]

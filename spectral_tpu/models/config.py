@@ -63,6 +63,8 @@ class TrainConfig:
     seed: int = 1337
     # bf16 activations on the matmul paths; complex stays fp32 regardless
     compute_dtype: str = "float32"
+    # fused Pallas FFT->filter->IFFT kernel for the standard block's conv
+    use_pallas_kernel: bool = False
     # checkpointing
     ckpt_path: str = "fixed_spectral_ckpt.msgpack"
     save_every_epochs: int = 5

@@ -1,0 +1,218 @@
+"""Fused Pallas spectral-conv kernel: rFFT -> complex filter -> irFFT in one
+VMEM-resident pass.
+
+This is the BASELINE.json north-star kernel: the hot path of every spectral
+block (reference: the cuFFT round-trips in train_fixed_full.py:507-555 and
+the absent ``fft_tensor_cuda`` extension) executed without touching HBM
+between the transforms.
+
+Design:
+* grid = (B, C/C_BLOCK); each program owns a (n_fft, C_BLOCK) panel.
+* the FFT is a radix-2 **Stockham autosort** (no bit-reversal gathers — each
+  stage is reshape + butterfly, which Mosaic lowers to VPU ops on VMEM
+  values), real/imag carried as separate fp32 arrays (complex dtypes are not
+  first-class in Mosaic).
+* the filter H is the PRE-FUSED product  k̂ * sigmoid(gate_freq) * cutoff_mask
+  extended to the full conjugate-symmetric spectrum, so one complex multiply
+  applies kernel, frequency gate and curriculum mask at once; the real
+  per-channel scales (gain * context gate) fold into the time-domain output.
+* backward reuses the SAME kernel with conj(H) (the adjoint of a real
+  convolution), with grad_H computed by an XLA rfft reduction — registered
+  via ``jax.custom_vjp``.
+
+Every entry point has a pure-jnp reference (`*_reference`) used as the
+parity gate, mirroring the reference repo's CUDA-vs-PyTorch fallback design.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.ops.fftc import next_pow2
+
+try:  # Pallas is TPU/Mosaic-specific; keep the module importable anywhere
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    PALLAS_AVAILABLE = True
+except Exception:  # pragma: no cover
+    PALLAS_AVAILABLE = False
+
+
+# ---------------------------------------------------------------------------
+# In-kernel Stockham radix-2 FFT on (N, C) panels, re/im separate
+# ---------------------------------------------------------------------------
+
+
+def _stockham_fft(re, im, inverse: bool):
+    """Radix-2 Stockham autosort FFT along axis 0 of (N, C) fp32 arrays.
+
+    Pure jnp on VALUES — usable both inside a Pallas kernel and as the
+    interpret-mode/CPU reference.  Returns (re, im); the inverse includes the
+    1/N scale.
+    """
+    n, c = re.shape
+    stages = int(math.log2(n))
+    assert 1 << stages == n, "n_fft must be a power of two"
+    sign = 1.0 if inverse else -1.0
+
+    for t in range(stages):
+        ls = 1 << t  # half-butterfly length at this stage
+        r = n // (2 * ls)
+        # split into the two halves that combine at this stage
+        a_re = re[: n // 2].reshape(r, ls, c)
+        a_im = im[: n // 2].reshape(r, ls, c)
+        b_re = re[n // 2 :].reshape(r, ls, c)
+        b_im = im[n // 2 :].reshape(r, ls, c)
+
+        # Mosaic requires integer iota; cast after
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, ls, 1), 1).astype(jnp.float32)
+        ang = sign * 2.0 * np.pi * j / float(2 * ls)
+        w_re = jnp.cos(ang)
+        w_im = jnp.sin(ang)
+
+        tb_re = w_re * b_re - w_im * b_im
+        tb_im = w_re * b_im + w_im * b_re
+
+        y_top_re = a_re + tb_re
+        y_top_im = a_im + tb_im
+        y_bot_re = a_re - tb_re
+        y_bot_im = a_im - tb_im
+
+        re = jnp.concatenate([y_top_re, y_bot_re], axis=1).reshape(n, c)
+        im = jnp.concatenate([y_top_im, y_bot_im], axis=1).reshape(n, c)
+
+    if inverse:
+        re = re / n
+        im = im / n
+    return re, im
+
+
+def full_filter_from_rfft(h_rfft: jax.Array, n_fft: int) -> jax.Array:
+    """Extend an rFFT-domain filter [F=n_fft//2+1] to the full conjugate-
+    symmetric spectrum [n_fft] (real effective kernel)."""
+    tail = jnp.conj(h_rfft[1:-1][::-1])
+    return jnp.concatenate([h_rfft, tail])
+
+
+# ---------------------------------------------------------------------------
+# Kernel body + pallas_call wrapper
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel_batched(x_ref, hre_ref, him_ref, scale_ref, out_ref, *, n_fft: int, seq_len: int):
+    """One (n_fft, C_BLOCK) panel: FFT -> *H -> IFFT -> *scale -> first T.
+
+    Batched operands carry a leading block dim of 1 (grid over B); squeeze
+    with index 0."""
+    x = x_ref[0]  # (n_fft, CB)
+    re, im = _stockham_fft(x, jnp.zeros_like(x), inverse=False)
+    h_re = hre_ref[:, :]
+    h_im = him_ref[:, :]
+    yr = re * h_re - im * h_im
+    yi = re * h_im + im * h_re
+    re2, _ = _stockham_fft(yr, yi, inverse=True)
+    out_ref[0] = re2[:seq_len] * scale_ref[0]
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom vjp
+# ---------------------------------------------------------------------------
+
+
+def fused_spectral_conv_reference(x: jax.Array, h_rfft: jax.Array, scale: jax.Array, n_fft: int) -> jax.Array:
+    """Pure-jnp reference: y = irfft(rfft(pad(x)) * H)[:T] * scale.
+
+    x: [B, T, C] real; h_rfft: [F] complex; scale: [B, C] real.
+    """
+    B, T, C = x.shape
+    x_pad = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, n_fft - T), (0, 0)))
+    xf = jnp.fft.rfft(x_pad, axis=1)
+    yf = xf * h_rfft[None, :, None]
+    y = jnp.fft.irfft(yf, n=n_fft, axis=1)[:, :T, :]
+    return y * scale[:, None, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_spectral_conv(
+    x: jax.Array,
+    h_rfft: jax.Array,
+    scale: jax.Array,
+    n_fft: int,
+    c_block: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused causal spectral conv (Pallas): one VMEM pass per (b, C-block).
+
+    y[b, :T, c] = (irfft(rfft(pad_T->n_fft(x[b,:,c])) * H))[:T] * scale[b, c]
+
+    Args:
+        x: [B, T, C] real input (pre-norm activations).
+        h_rfft: [n_fft//2+1] complex fused filter = k̂·sigmoid(gate)·mask.
+        scale: [B, C] real per-channel scale = gain * context gate.
+        n_fft: static pow2 FFT length (>= T + K - 1).
+        c_block: channel tile (multiple of 128 for fp32 lanes).
+        interpret: run the kernel in interpreter mode (CPU testing).
+    """
+    return _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret)
+
+
+def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret):
+    B, T, C = x.shape
+    if not PALLAS_AVAILABLE:
+        return fused_spectral_conv_reference(x, h_rfft, scale, n_fft)
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True  # Mosaic compiles only for TPU; interpret elsewhere
+    h_full = full_filter_from_rfft(h_rfft, n_fft)
+    x_pad = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, n_fft - T), (0, 0)))
+    kernel = functools.partial(_fused_kernel_batched, n_fft=n_fft, seq_len=T)
+    cb = min(c_block, C)
+    while C % cb:
+        cb //= 2
+    return pl.pallas_call(
+        kernel,
+        grid=(B, C // cb),
+        in_specs=[
+            pl.BlockSpec((1, n_fft, cb), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cb), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, cb), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.float32),
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(x_pad, jnp.real(h_full)[:, None], jnp.imag(h_full)[:, None], scale.astype(jnp.float32)[:, None, :])
+
+
+def _fsc_fwd(x, h_rfft, scale, n_fft, c_block, interpret):
+    y = _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret)
+    return y, (x, h_rfft, scale)
+
+
+def _fsc_bwd(n_fft, c_block, interpret, res, g):
+    x, h_rfft, scale = res
+    B, T, C = x.shape
+    # grad wrt x: adjoint of a real conv = same kernel with conj(H), applied
+    # to (g * scale) — reuses the fused Pallas kernel.
+    gs = g * scale[:, None, :]
+    grad_x = _forward_impl(gs, jnp.conj(h_rfft), jnp.ones_like(scale), n_fft, c_block, interpret)
+    # grad wrt H: differentiate the (cheap, reduction-shaped) reference path
+    # with XLA's fft autodiff — correct by construction in JAX's convention.
+    _, h_vjp = jax.vjp(lambda h: fused_spectral_conv_reference(x, h, scale, n_fft), h_rfft)
+    (grad_h,) = h_vjp(g)
+    # grad wrt scale: y = conv(x) * scale elementwise over (B, C)
+    conv = fused_spectral_conv_reference(x, h_rfft, jnp.ones_like(scale), n_fft)
+    grad_scale = jnp.sum(g * conv, axis=1)
+    return grad_x, grad_h, grad_scale
+
+
+fused_spectral_conv.defvjp(_fsc_fwd, _fsc_bwd)

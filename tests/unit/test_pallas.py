@@ -1,0 +1,84 @@
+"""Pallas kernels vs their pure-jnp references (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.layers.byte_spectral import byte_dft_features
+from spectral_tpu.ops.pallas_byte import byte_dft_magnitudes_pallas, byte_encode_pallas
+from spectral_tpu.ops.pallas_spectral import (
+    _stockham_fft,
+    full_filter_from_rfft,
+    fused_spectral_conv,
+    fused_spectral_conv_reference,
+)
+
+
+class TestStockhamFFT:
+    @pytest.mark.parametrize("n", [2, 8, 64, 256])
+    def test_forward_matches_numpy(self, n):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((n, 4)).astype(np.float32)
+        re, im = _stockham_fft(jnp.asarray(x), jnp.zeros((n, 4), jnp.float32), inverse=False)
+        want = np.fft.fft(x, axis=0)
+        np.testing.assert_allclose(np.asarray(re) + 1j * np.asarray(im), want, atol=1e-3)
+
+    def test_inverse_roundtrip(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((128, 8)).astype(np.float32)
+        re, im = _stockham_fft(jnp.asarray(x), jnp.zeros_like(jnp.asarray(x)), inverse=False)
+        re2, im2 = _stockham_fft(re, im, inverse=True)
+        np.testing.assert_allclose(np.asarray(re2), x, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(im2), 0, atol=1e-5)
+
+    def test_full_filter_conjugate_symmetry(self):
+        rng = np.random.default_rng(2)
+        h = (rng.standard_normal(33) + 1j * rng.standard_normal(33)).astype(np.complex64)
+        full = np.asarray(full_filter_from_rfft(jnp.asarray(h), 64))
+        assert full.shape == (64,)
+        np.testing.assert_allclose(full[1:32], np.conj(full[33:][::-1]), atol=1e-6)
+
+
+class TestFusedSpectralConv:
+    def test_matches_reference(self):
+        rng = np.random.default_rng(3)
+        B, T, C, n_fft = 2, 48, 16, 64
+        x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+        h = jnp.asarray((rng.standard_normal(33) + 1j * rng.standard_normal(33)).astype(np.complex64))
+        s = jnp.asarray(rng.standard_normal((B, C)).astype(np.float32))
+        y_ref = fused_spectral_conv_reference(x, h, s, n_fft)
+        y_pal = fused_spectral_conv(x, h, s, n_fft, 8, True)  # interpret mode
+        np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), atol=1e-4)
+
+    def test_grads_match_reference_autodiff(self):
+        rng = np.random.default_rng(4)
+        B, T, C, n_fft = 2, 24, 8, 32
+        x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+        h = jnp.asarray((rng.standard_normal(17) + 1j * rng.standard_normal(17)).astype(np.complex64))
+        s = jnp.asarray(rng.standard_normal((B, C)).astype(np.float32))
+        p = rng.standard_normal((B, T, C)).astype(np.float32)
+
+        g_pal = jax.grad(lambda *a: jnp.sum(fused_spectral_conv(*a, n_fft, 8, True) * p), argnums=(0, 1, 2))(x, h, s)
+        g_ref = jax.grad(
+            lambda *a: jnp.sum(fused_spectral_conv_reference(*a, n_fft) * p), argnums=(0, 1, 2)
+        )(x, h, s)
+        for a, b in zip(g_pal, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestPallasByteEncoder:
+    def test_magnitudes_match_fft(self):
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.integers(0, 256, (4, 64)).astype(np.int32))
+        mag = byte_dft_magnitudes_pallas(x, interpret=True)
+        signal = np.asarray(x, np.float32) / 127.5 - 1.0
+        want = np.abs(np.fft.fft(signal, axis=1))
+        np.testing.assert_allclose(np.asarray(mag), want, atol=1e-3)
+
+    def test_features_match_reference(self):
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.integers(0, 256, (2, 32)).astype(np.int32))
+        got = byte_encode_pallas(x, 16, interpret=True)
+        want = byte_dft_features(x, 16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
