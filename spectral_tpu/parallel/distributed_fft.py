@@ -87,7 +87,6 @@ def sequence_sharded_spectral_conv(
         mesh=mesh,
         in_specs=(P(None, axis, None), P()),
         out_specs=P(None, axis, None),
-        check_rep=False,
     )
     return fn(x, h_rfft)
 
