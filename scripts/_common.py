@@ -8,21 +8,7 @@ import os
 from spectral_tpu.models.config import TrainConfig
 
 
-def apply_platform_env() -> None:
-    """Make the JAX_PLATFORMS env var authoritative for the CLIs.
-
-    Some environments pre-register a TPU platform at interpreter start
-    (sitecustomize), which wins over the env var; re-assert the user's choice
-    so ``JAX_PLATFORMS=cpu python -m scripts.train_lm`` behaves as expected.
-    """
-    want = os.environ.get("JAX_PLATFORMS")
-    if want:
-        import jax
-
-        try:
-            jax.config.update("jax_platforms", want)
-        except Exception:
-            pass
+from spectral_tpu.utils.platform import apply_platform_env  # noqa: F401
 
 
 def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:

@@ -187,15 +187,18 @@ class FrequencyTransformerLayer:
 
 def frequency_relu(x_freq: jax.Array) -> jax.Array:
     """ReLU on magnitude, phase preserved (reference :367-381)."""
-    magnitude = jnp.abs(x_freq)
-    phase = jnp.angle(x_freq)
+    from spectral_tpu.ops.complex_utils import safe_magnitude_phase
+
+    magnitude, phase = safe_magnitude_phase(x_freq)
     return _polar(jax.nn.relu(magnitude), phase)
 
 
 def frequency_layernorm(x_freq: jax.Array, eps: float = 1e-5) -> jax.Array:
     """Normalize magnitude (last axis), preserve phase (reference :384-401)."""
-    magnitude = jnp.abs(x_freq)
+    from spectral_tpu.ops.complex_utils import safe_magnitude_phase
+
+    magnitude, phase = safe_magnitude_phase(x_freq)
     mean = jnp.mean(magnitude, axis=-1, keepdims=True)
     std = jnp.std(magnitude, axis=-1, keepdims=True, ddof=1)
     normalized = (magnitude - mean) / (std + eps)
-    return _polar(normalized, jnp.angle(x_freq))
+    return _polar(normalized, phase)

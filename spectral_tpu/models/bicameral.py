@@ -160,3 +160,38 @@ def hemisphere_balance(params: dict) -> dict:
     a_t = 1.0 / (1.0 + np.exp(-float(params["alpha_time"])))
     total = a_f + a_t
     return {"w_freq": a_f / total, "w_time": a_t / total}
+
+
+def _self_test():  # pragma: no cover - CLI self-test (reference :390-441)
+    """python -m spectral_tpu.models.bicameral"""
+    import numpy as np
+
+    print("Testing Bicameral (Two-Hemisphere) Architecture...")
+    B, T, C = 4, 256, 128
+    blk = BicameralBlock(d_model=C, seq_len=T, kernel_len=32, transition_bins=16, dropout=0.0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    params = blk.init(jax.random.PRNGKey(0), x)
+
+    for cutoff in (64, 128, 256):
+        y = blk.apply(params, x, cutoff=jnp.int32(cutoff))
+        assert y.shape == x.shape
+        print(f"   Cutoff {cutoff}: output {y.shape} [OK]")
+
+    w = hemisphere_balance(params["params"])
+    print(f"   Balance: freq {w['w_freq']:.1%} / time {w['w_time']:.1%}")
+
+    g = jax.grad(lambda p: jnp.sum(blk.apply(p, x, cutoff=jnp.int32(64)) ** 2))(params)
+    gf = float(jnp.linalg.norm(g["params"]["gain_freq"]))
+    gt = float(jnp.linalg.norm(g["params"]["conv1d_kernel"]))
+    print(f"   Frequency path gradient: {gf:.2f}")
+    print(f"   Time path gradient:      {gt:.2f}")
+    assert gf > 0 and gt > 0, "both hemispheres must receive gradients"
+    print("[OK] Bicameral architecture works!")
+
+
+if __name__ == "__main__":
+    from spectral_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    _self_test()

@@ -31,6 +31,7 @@ from spectral_tpu.ops.fftc import (
     kernel_rfft,
     rfft_time,
 )
+from spectral_tpu.ops.complex_utils import polar as _polar_safe, safe_magnitude_phase
 from spectral_tpu.ops.wirtinger import frequency_conv
 
 _small_normal = nn.initializers.normal(stddev=0.01)
@@ -62,8 +63,7 @@ class PhaseShift(nn.Module):
         magnitude_logits = self.param("magnitude_logits", nn.initializers.zeros, (self.n_freqs, self.d_model))
 
         fbins = z_freq.shape[1]
-        magnitude = jnp.abs(z_freq)
-        phase = jnp.angle(z_freq)
+        magnitude, phase = safe_magnitude_phase(z_freq)  # NaN-safe at masked zeros
         rotation = jnp.tanh(phase_weights[:fbins]) * math.pi  # [F, C]
         mag_scale = 1.0 + 0.1 * jnp.tanh(magnitude_logits[:fbins])
         return _polar(magnitude * mag_scale[None], phase + rotation[None])
@@ -85,8 +85,7 @@ class SpectralLayerNorm(nn.Module):
         beta = self.param("beta", nn.initializers.zeros, (self.n_freqs, self.d_model))
 
         fbins = x_freq.shape[1]
-        magnitude = jnp.abs(x_freq)
-        phase = jnp.angle(x_freq)
+        magnitude, phase = safe_magnitude_phase(x_freq)  # NaN-safe at masked zeros
         mean = jnp.mean(magnitude, axis=-1, keepdims=True)
         var = jnp.var(magnitude, axis=-1, keepdims=True)
         mag_norm = (magnitude - mean) / jnp.sqrt(var + self.eps)
@@ -119,8 +118,7 @@ class SpectralFFN(nn.Module):
         h = PhaseShift(hidden, self.n_freqs, name="activation")(h)
 
         if self.dropout > 0:
-            mag = jnp.abs(h)
-            phase = jnp.angle(h)
+            mag, phase = safe_magnitude_phase(h)
             mag = nn.Dropout(self.dropout)(mag, deterministic=deterministic)
             h = _polar(mag, phase)
 
@@ -190,3 +188,36 @@ class FrequencyNativeBlock(nn.Module):
         y = irfft_time(y_freq, n_fft, T)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return residual + y
+
+
+def _self_test():  # pragma: no cover - CLI self-test (reference :365-388)
+    """python -m spectral_tpu.models.frequency_native"""
+    import numpy as np
+
+    print("Testing frequency-native components...")
+    B, F, C = 4, 128, 512
+    ps = PhaseShift(C, F)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.standard_normal((B, F, C)) + 1j * rng.standard_normal((B, F, C))).astype(np.complex64))
+    params = ps.init(jax.random.PRNGKey(0), x)
+    y = ps.apply(params, x)
+    e_in = float(jnp.sum(jnp.abs(x) ** 2))
+    e_out = float(jnp.sum(jnp.abs(y) ** 2))
+    print(f"Energy in: {e_in:.2f}  out: {e_out:.2f}  ratio: {e_out/e_in:.4f}")
+    assert abs(e_out / e_in - 1.0) < 0.1, "PhaseShift must be ~energy-preserving"
+    print("[OK] PhaseShift preserves energy")
+
+    blk = FrequencyNativeBlock(d_model=64, seq_len=64, kernel_len=16, transition_bins=8, dropout=0.0)
+    xb = jnp.asarray(rng.standard_normal((2, 64, 64)).astype(np.float32))
+    p = blk.init(jax.random.PRNGKey(0), xb)
+    g = jax.grad(lambda p: jnp.sum(blk.apply(p, xb, cutoff=jnp.int32(16)) ** 2))(p)
+    gn = sum(float(jnp.linalg.norm(l)) for l in jax.tree.leaves(g))
+    print(f"[OK] fwd/bwd through the freq-native block (grad norm {gn:.2f})")
+    print("[SUCCESS] All tests passed!")
+
+
+if __name__ == "__main__":
+    from spectral_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    _self_test()

@@ -60,19 +60,20 @@ class SpectralEMA(nn.Module):
         """One EMA step.  state/fft_chunk: [B, F] complex64."""
         a, rho, one_minus_rho = self.decay_params()
 
+        from spectral_tpu.ops.complex_utils import safe_magnitude_phase
+
         if self.mode == "polar":
-            m_prev = jnp.abs(state)
-            m_cur = jnp.abs(fft_chunk)
+            m_prev, _ = safe_magnitude_phase(state)
+            m_cur, phi = safe_magnitude_phase(fft_chunk)
             m_new = rho[None] * m_prev + one_minus_rho[None] * m_cur
-            phi = jnp.angle(fft_chunk)
             return _polar(m_new, phi)
 
         if self.mode != "aligned":
             raise ValueError(f"Unknown SpectralEMA mode: {self.mode}")
 
         # phase-aligned EMA: rotate prev state to the new signal's phase first
-        prev_ang = jnp.angle(state)
-        cur_ang = jnp.angle(fft_chunk)
+        _, prev_ang = safe_magnitude_phase(state)
+        _, cur_ang = safe_magnitude_phase(fft_chunk)
         rot = _polar(jnp.ones_like(prev_ang), cur_ang - prev_ang)
         state_aligned = state * rot
         return a[None] * state_aligned + one_minus_rho[None].astype(jnp.complex64) * fft_chunk

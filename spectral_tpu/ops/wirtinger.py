@@ -213,3 +213,52 @@ class ComplexParameter(nn.Module):
 
     def phase(self) -> jax.Array:
         return jnp.arctan2(self.imag, self.real)
+
+
+def _self_test():  # pragma: no cover - CLI self-test (reference :206-393)
+    """python -m spectral_tpu.ops.wirtinger — the 4-part Wirtinger suite."""
+    import numpy as np
+    import optax
+
+    rng = np.random.default_rng(0)
+    print("=== 1. Gradient flow through the complex multiply ===")
+    x = jnp.asarray((rng.standard_normal((2, 8, 16)) + 1j * rng.standard_normal((2, 8, 16))).astype(np.complex64))
+    wr = jnp.asarray(rng.standard_normal((1, 8, 16)).astype(np.float32))
+    wi = jnp.asarray(rng.standard_normal((1, 8, 16)).astype(np.float32))
+    gr, gi = jax.grad(lambda wr, wi: jnp.sum(jnp.abs(wirtinger_multiply_ri(x, wr, wi))), argnums=(0, 1))(wr, wi)
+    print(f"  real grad norm {float(jnp.linalg.norm(gr)):.4f}  imag grad norm {float(jnp.linalg.norm(gi)):.4f}")
+    assert float(jnp.linalg.norm(gr)) > 0 and float(jnp.linalg.norm(gi)) > 0
+
+    print("=== 2. Phase learning (50 Adam steps) ===")
+    D, k = 16, 4
+    target_phase = rng.standard_normal((D, k)).astype(np.float32)
+    target = np.cos(target_phase) + 1j * np.sin(target_phase)
+    init_r, init_i = complex_init("uniform", (D, k))
+    params = {"r": init_r(jax.random.PRNGKey(0), (D, k)), "i": init_i(jax.random.PRNGKey(1), (D, k))}
+    tx = optax.adam(0.1)
+    st = tx.init(params)
+    p0 = np.arctan2(np.asarray(params["i"]), np.asarray(params["r"]))
+    for _ in range(50):
+        g = jax.grad(lambda p: jnp.mean(jnp.abs(jax.lax.complex(p["r"], p["i"]) - target) ** 2))(params)
+        u, st = tx.update(g, st)
+        params = optax.apply_updates(params, u)
+    p1 = np.arctan2(np.asarray(params["i"]), np.asarray(params["r"]))
+    change = float(np.linalg.norm(p1 - p0))
+    print(f"  phase change: {change:.4f} (must exceed 0.1)")
+    assert change > 0.1
+
+    print("=== 3/4. Magnitude+phase training (frequency_conv grads) ===")
+    kf = jnp.asarray((rng.standard_normal(9) + 1j * rng.standard_normal(9)).astype(np.complex64))
+    gain = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+    xf = jnp.asarray((rng.standard_normal((2, 9, 16)) + 1j * rng.standard_normal((2, 9, 16))).astype(np.complex64))
+    gk, gg = jax.grad(lambda kf, g: jnp.sum(jnp.abs(frequency_conv(xf, kf, g))), argnums=(0, 1))(kf, gain)
+    print(f"  kernel grad {float(jnp.linalg.norm(gk)):.4f}  gain grad {float(jnp.linalg.norm(gg)):.4f}")
+    assert float(jnp.linalg.norm(gk)) > 0 and float(jnp.linalg.norm(gg)) > 0
+    print("ALL WIRTINGER TESTS PASSED")
+
+
+if __name__ == "__main__":
+    from spectral_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    _self_test()

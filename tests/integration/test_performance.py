@@ -1,0 +1,109 @@
+"""Performance/scalability gates (port of reference tests/integration/test_performance.py).
+
+Wall-clock thresholds are generous (CI runs on CPU); the real perf numbers
+come from bench.py / benchmarks/ on TPU.  The important invariants here are
+bounded memory under streaming and backend equivalence.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.core.tensor import MemoryManager, SparseSpectralTensor, sst
+
+
+@pytest.fixture(autouse=True)
+def clean_mm():
+    MemoryManager.clear_all()
+    MemoryManager.set_limit(5000)
+    yield
+    MemoryManager.clear_all()
+    MemoryManager.set_limit(5000)
+
+
+class TestFFTPerformance:
+    def test_fft_completes_quickly(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (1024, 1024))
+        f = jax.jit(lambda x: jnp.fft.fftn(x))
+        jax.block_until_ready(f(x))  # compile
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        assert time.perf_counter() - t0 < 1.0  # reference gate: < 1 s
+
+    def test_sst_creation_time_bounded(self):
+        x = np.random.default_rng(0).standard_normal((1024, 1024)).astype(np.float32)
+        t0 = time.perf_counter()
+        _ = sst(x, sparsity=0.05)
+        assert time.perf_counter() - t0 < 10.0
+
+
+class TestMemoryEfficiency:
+    def test_sst_memory_well_below_dense(self):
+        x = np.random.default_rng(1).standard_normal((2048, 2048)).astype(np.float32)
+        t = sst(x, sparsity=0.05)
+        dense_mb = x.nbytes / (1024**2)
+        assert t.memory_mb() < dense_mb * 0.2  # complex+idx = 12B/coeff at 5%
+
+    def test_large_matmul_simulation(self):
+        a = sst(np.random.default_rng(2).standard_normal((512, 512)).astype(np.float32), sparsity=0.1)
+        b = sst(np.random.default_rng(3).standard_normal((512, 512)).astype(np.float32), sparsity=0.1)
+        c = a.matmul(b)
+        assert c.shape == (512, 512)
+
+    def test_bounded_memory_streaming_50_iters(self):
+        """Streaming decode state must not grow over 50 chunk updates
+        (reference :89-111 'bounded-memory streaming')."""
+        from spectral_tpu.models.config import TrainConfig
+        from spectral_tpu.streaming.overlap_save import OverlapSaveStream
+        from spectral_tpu.models.backbone import FixedSpectralLM
+
+        cfg = TrainConfig(d_model=32, n_layers=2, seq_len=64, kernel_len=8, jpeg_transition=8, dropout=0.0)
+        model = FixedSpectralLM(cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64), jnp.int32))["params"]
+        stream = OverlapSaveStream(params, cfg)
+        rng = np.random.default_rng(4)
+        state = stream.init_state(rng.integers(0, 256, (1, 64)).astype(np.int32))
+
+        def nbytes(s):
+            return sum(np.asarray(l).nbytes for l in jax.tree.leaves(s))
+
+        first = nbytes(state)
+        for _ in range(50):
+            state = stream.update_chunk(state, rng.integers(0, 256, 8).tolist())
+        assert nbytes(state) == first
+        assert np.isfinite(np.asarray(state["h_last"])).all()
+
+
+class TestBackendEquivalence:
+    """The reference's fake-backend test (CUDA on/off < 1% divergence,
+    :126-142) maps to Pallas-vs-jnp equivalence here."""
+
+    def test_pallas_vs_jnp_spectral_conv(self):
+        from spectral_tpu.ops.pallas_spectral import (
+            fused_spectral_conv,
+            fused_spectral_conv_reference,
+        )
+
+        rng = np.random.default_rng(5)
+        B, T, C, n_fft = 2, 48, 16, 64
+        x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+        h = jnp.asarray((rng.standard_normal(33) + 1j * rng.standard_normal(33)).astype(np.complex64))
+        s = jnp.asarray(rng.standard_normal((B, C)).astype(np.float32))
+        a = np.asarray(fused_spectral_conv(x, h, s, n_fft, 8, True))
+        b = np.asarray(fused_spectral_conv_reference(x, h, s, n_fft))
+        rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert rel < 0.01  # the reference's <1% backend-divergence gate
+
+    def test_pallas_vs_jnp_byte_encoder(self):
+        from spectral_tpu.layers.byte_spectral import byte_dft_features
+        from spectral_tpu.ops.pallas_byte import byte_encode_pallas
+
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.integers(0, 256, (2, 32)).astype(np.int32))
+        a = np.asarray(byte_encode_pallas(x, 16, interpret=True))
+        b = np.asarray(byte_dft_features(x, 16))
+        rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert rel < 0.01

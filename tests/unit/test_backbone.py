@@ -188,3 +188,36 @@ class TestTorchGoldenParity:
         c = None if cutoff is None else jnp.int32(cutoff)
         y_jax = np.asarray(blk.apply(params, jnp.asarray(x_np), cutoff=c))
         np.testing.assert_allclose(y_jax, y_torch, rtol=1e-4, atol=1e-4)
+
+
+class TestFrequencyNativeGradSafety:
+    def test_grads_finite_with_active_cutoff(self):
+        """Regression: JAX abs/angle grads NaN at the exact zeros the cutoff
+        mask creates; the safe mag/phase decomposition must keep every grad
+        finite in frequency-native mode at a low cutoff."""
+        import jax
+        import jax.numpy as jnp
+
+        cfg = tiny_cfg(frequency_native=True)
+        model = FixedSpectralLM(cfg)
+        x = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 64)).astype(np.int32))
+        params = model.init(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            return jnp.sum(model.apply(p, x, cutoff=jnp.int32(16)) ** 2)
+
+        g = jax.grad(loss)(params)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(g):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            assert np.isfinite(np.asarray(leaf)).all(), f"non-finite grad in {name}"
+
+    def test_grads_finite_bicameral_with_cutoff(self):
+        import jax
+        import jax.numpy as jnp
+
+        cfg = tiny_cfg(bicameral=True)
+        model = FixedSpectralLM(cfg)
+        x = jnp.asarray(np.random.default_rng(1).integers(0, 256, (2, 64)).astype(np.int32))
+        params = model.init(jax.random.PRNGKey(0), x)
+        g = jax.grad(lambda p: jnp.sum(model.apply(p, x, cutoff=jnp.int32(16)) ** 2))(params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
