@@ -106,19 +106,80 @@ def full_filter_from_rfft(h_rfft: jax.Array, n_fft: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _stockham_stage(re, im, t: int, sign: float):
+    """One radix-2 Stockham butterfly stage on (N, C) value pairs."""
+    n, c = re.shape
+    ls = 1 << t
+    r = n // (2 * ls)
+    a_re = re[: n // 2].reshape(r, ls, c)
+    a_im = im[: n // 2].reshape(r, ls, c)
+    b_re = re[n // 2 :].reshape(r, ls, c)
+    b_im = im[n // 2 :].reshape(r, ls, c)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, ls, 1), 1).astype(jnp.float32)
+    ang = sign * 2.0 * np.pi * j / float(2 * ls)
+    w_re = jnp.cos(ang)
+    w_im = jnp.sin(ang)
+    tb_re = w_re * b_re - w_im * b_im
+    tb_im = w_re * b_im + w_im * b_re
+    out_re = jnp.concatenate([a_re + tb_re, a_re - tb_re], axis=1).reshape(n, c)
+    out_im = jnp.concatenate([a_im + tb_im, a_im - tb_im], axis=1).reshape(n, c)
+    return out_re, out_im
+
+
 def _fused_kernel_batched(x_ref, hre_ref, him_ref, scale_ref, out_ref, *, n_fft: int, seq_len: int):
     """One (n_fft, C_BLOCK) panel: FFT -> *H -> IFFT -> *scale -> first T.
 
     Batched operands carry a leading block dim of 1 (grid over B); squeeze
-    with index 0."""
-    x = x_ref[0]  # (n_fft, CB)
-    re, im = _stockham_fft(x, jnp.zeros_like(x), inverse=False)
-    h_re = hre_ref[:, :]
-    h_im = him_ref[:, :]
-    yr = re * h_re - im * h_im
-    yi = re * h_im + im * h_re
-    re2, _ = _stockham_fft(yr, yi, inverse=True)
-    out_ref[0] = re2[:seq_len] * scale_ref[0]
+    with index 0.  The butterfly stages ping-pong between two explicit VMEM
+    scratch pairs so the live set stays at ~4 panels + one stage's
+    temporaries (letting Mosaic fit n_fft=2048 panels in 16 MB VMEM; a naive
+    values-only formulation allocated ~17 panels and OOM'd the scoped vmem).
+    """
+    cb = x_ref.shape[2]
+    stages = int(math.log2(n_fft))
+
+    def body(a_re, a_im, b_re, b_im):
+        a_re[:, :] = x_ref[0]
+        a_im[:, :] = jnp.zeros((n_fft, cb), jnp.float32)
+        bufs = [(a_re, a_im), (b_re, b_im)]
+        src = 0
+        for t in range(stages):
+            sre, sim = bufs[src]
+            dre, dim_ = bufs[1 - src]
+            o_re, o_im = _stockham_stage(sre[:, :], sim[:, :], t, sign=-1.0)
+            dre[:, :] = o_re
+            dim_[:, :] = o_im
+            src = 1 - src
+
+        # fused filter multiply (kernel x gate x mask, conjugate-symmetric)
+        sre, sim = bufs[src]
+        dre, dim_ = bufs[1 - src]
+        h_re = hre_ref[:, :]
+        h_im = him_ref[:, :]
+        re = sre[:, :]
+        im = sim[:, :]
+        dre[:, :] = re * h_re - im * h_im
+        dim_[:, :] = re * h_im + im * h_re
+        src = 1 - src
+
+        for t in range(stages):
+            sre, sim = bufs[src]
+            dre, dim_ = bufs[1 - src]
+            o_re, o_im = _stockham_stage(sre[:, :], sim[:, :], t, sign=1.0)
+            dre[:, :] = o_re
+            dim_[:, :] = o_im
+            src = 1 - src
+
+        final_re, _ = bufs[src]
+        out_ref[0] = final_re[:seq_len, :] * (scale_ref[0] / float(n_fft))
+
+    pl.run_scoped(
+        body,
+        a_re=pltpu.VMEM((n_fft, cb), jnp.float32),
+        a_im=pltpu.VMEM((n_fft, cb), jnp.float32),
+        b_re=pltpu.VMEM((n_fft, cb), jnp.float32),
+        b_im=pltpu.VMEM((n_fft, cb), jnp.float32),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -187,9 +248,6 @@ def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret):
         out_specs=pl.BlockSpec((1, T, cb), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.float32),
         interpret=interpret,
-        compiler_params=None
-        if interpret
-        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(x_pad, jnp.real(h_full)[:, None], jnp.imag(h_full)[:, None], scale.astype(jnp.float32)[:, None, :])
 
 
