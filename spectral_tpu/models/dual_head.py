@@ -104,6 +104,56 @@ def get_gpt2_tokenizer():
     return _tokenizer_cache
 
 
+class HashWordTokenizer:
+    """Offline teacher fallback: word -> stable hash id in [1, vocab).
+
+    When GPT-2 BPE is unavailable (offline environments), concept-level
+    supervision still works: every whitespace-delimited word maps to a
+    deterministic id, giving the token head the same "these bytes belong to
+    one concept" signal.  Alignment is EXACT (per word span) rather than the
+    reference's equal-chunks approximation.
+    """
+
+    def __init__(self, vocab_size: int = 50257):
+        self.vocab_size = int(vocab_size)
+
+    def encode(self, text: str, add_special_tokens: bool = False) -> list[int]:
+        import hashlib
+
+        out = []
+        for w in text.split():
+            h = int.from_bytes(hashlib.blake2s(w.encode(), digest_size=4).digest(), "little")
+            out.append(1 + h % (self.vocab_size - 1))
+        return out
+
+
+def get_word_token_ids(text_bytes: np.ndarray, vocab_size: int = 50257) -> np.ndarray:
+    """Exact byte->word-token alignment with :class:`HashWordTokenizer`.
+
+    Every byte of a word (and its trailing separator run) carries that
+    word's hash id; padding positions (no word yet) stay 0 (masked in the
+    loss).
+    """
+    import hashlib
+
+    B, T = text_bytes.shape
+    out = np.zeros((B, T), dtype=np.int32)
+    for b in range(B):
+        raw = bytes(int(v) for v in text_bytes[b])
+        text = raw.decode("utf-8", errors="ignore")
+        # walk words with their spans over the decoded text's byte offsets
+        pos = 0
+        for w in text.split():
+            start = raw.find(w.encode("utf-8", errors="ignore"), pos)
+            if start < 0:
+                continue
+            end = start + len(w.encode("utf-8", errors="ignore"))
+            h = int.from_bytes(hashlib.blake2s(w.encode(), digest_size=4).digest(), "little")
+            out[b, start:end] = 1 + h % (vocab_size - 1)
+            pos = end
+    return out
+
+
 def get_token_ids_fast(text_bytes: np.ndarray, tokenizer) -> np.ndarray:
     """Approximate byte-to-token alignment: tokenize the window, assign each
     token to T/num_tokens byte positions (equal chunks, remainder to the

@@ -144,8 +144,11 @@ def train_chunk(
     if head == "dual":
         tokenizer = get_gpt2_tokenizer()
         if tokenizer is None:
-            log("[warn] transformers/gpt2 unavailable — token supervision disabled, "
-                "falling back to plain chunk head loss weighting 0")
+            from spectral_tpu.models.dual_head import HashWordTokenizer
+
+            tokenizer = HashWordTokenizer(token_vocab_size)
+            log("[warn] transformers/gpt2 unavailable — using the offline "
+                "word-hash teacher (exact word-span alignment)")
 
     model = build_chunk_model(cfg, head, chunk, use_ema=use_ema, token_vocab_size=token_vocab_size)
     x0 = jnp.zeros((cfg.batch_size, cfg.seq_len), jnp.int32)

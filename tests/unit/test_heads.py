@@ -218,3 +218,29 @@ class TestAuxHeads:
             ignore_index=0,
         )
         np.testing.assert_allclose(float(tl), float(tl_ref), rtol=1e-5)
+
+
+class TestHashWordTokenizer:
+    def test_word_token_alignment(self):
+        from spectral_tpu.models.dual_head import HashWordTokenizer, get_word_token_ids
+
+        text = "the cat sat"
+        x = np.asarray([[ord(c) for c in text]])
+        ids = get_word_token_ids(x, vocab_size=1000)[0]
+        # "the" spans [0,3), "cat" [4,7), "sat" [8,11); spaces stay 0
+        assert ids[0] == ids[1] == ids[2] != 0
+        assert ids[3] == 0
+        assert ids[4] == ids[5] == ids[6] != 0
+        assert ids[0] != ids[4]  # different words, different ids
+        # deterministic + consistent with the encode() path
+        tok = HashWordTokenizer(1000)
+        assert tok.encode("the cat sat") == [int(ids[0]), int(ids[4]), int(ids[8])]
+
+    def test_used_by_fallback_trainer_path(self):
+        from spectral_tpu.models.dual_head import HashWordTokenizer, get_token_ids_fast
+
+        tok = HashWordTokenizer(500)
+        x = np.asarray([[ord(c) for c in "hello world again"]])
+        ids = get_token_ids_fast(x, tok)
+        assert ids.shape == x.shape
+        assert (ids > 0).all()  # equal-chunk assignment covers the window
