@@ -1,0 +1,57 @@
+"""CLI surface smoke tests: train -> generate -> eval pipelines in-process."""
+
+import os
+import sys
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli") / "corpus.txt"
+    p.write_text("the cat sat on the mat. " * 500)
+    return str(p)
+
+
+TINY = ["--seq-len", "64", "--kernel-len", "16", "--d-model", "32", "--n-layers", "1",
+        "--batch-size", "2", "--epochs", "1", "--steps-per-epoch", "6", "--log-every-steps", "0"]
+
+
+def run_cli(module, argv):
+    from importlib import import_module
+
+    mod = import_module(module)
+    mod.main(argv)
+
+
+class TestTrainerCLIs:
+    def test_train_lm_then_generate_then_eval(self, corpus, tmp_path):
+        ckpt = str(tmp_path / "lm.msgpack")
+        run_cli("scripts.train_lm", ["--data", corpus, "--ckpt-path", ckpt, "--no-val"] + TINY)
+        assert os.path.exists(ckpt) and os.path.exists(ckpt + ".sha256")
+        run_cli("scripts.generate_from_ckpt", ["--ckpt", ckpt, "--prompt", "the", "--max-new", "8"])
+        run_cli("scripts.stream_generate_fast", ["--ckpt", ckpt, "--prompt", "the", "--max-new", "8"])
+        run_cli("scripts.eval_ckpt", ["--ckpt", ckpt, "--data", corpus, "--max-new", "8"])
+
+    def test_chunk_pipeline(self, corpus, tmp_path):
+        ckpt = str(tmp_path / "chunk.msgpack")
+        run_cli("scripts.train_chunk_head", ["--data", corpus, "--ckpt-path", ckpt, "--chunk", "8"] + TINY)
+        run_cli("scripts.generate_chunked", ["--ckpt", ckpt, "--prompt", "the", "--chunks", "2"])
+        run_cli("scripts.generate_chunk_simple", ["--ckpt", ckpt, "--prompt", "the", "--chunks", "2"])
+        run_cli("scripts.generate_chunked_overlap_save", ["--ckpt", ckpt, "--prompt", "the", "--chunks", "2"])
+        run_cli("scripts.generate_chunked_stateful", ["--ckpt", ckpt, "--prompt", "the", "--chunks", "2"])
+
+    def test_segmentation_head_trainer_via_api(self, corpus, tmp_path):
+        """The segmentation head has no dedicated reference CLI; cover it via
+        the shared loop."""
+        from spectral_tpu.models.config import TrainConfig
+        from spectral_tpu.train.chunk_trainer import train_chunk
+
+        cfg = TrainConfig(
+            data_path=corpus, d_model=32, n_layers=1, seq_len=64, kernel_len=16,
+            jpeg_transition=8, batch_size=2, epochs=1, steps_per_epoch=4,
+            log_every_steps=0, dropout=0.0,
+            ckpt_path=str(tmp_path / "seg.msgpack"),
+        )
+        out = train_chunk(cfg, head="segmentation", chunk=8, log=lambda s: None)
+        assert out["state"].epoch == 1
