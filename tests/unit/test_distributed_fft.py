@@ -61,3 +61,50 @@ class TestSequenceShardedConv:
         xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(None, "sp", None)))
         got = sequence_sharded_spectral_conv(xs, jnp.asarray(h.astype(np.complex64)), mesh, n_fft=n_fft)
         np.testing.assert_allclose(np.asarray(got), want.astype(np.float32), atol=1e-4)
+
+
+class TestLongContext:
+    def test_seq_64k_sharded_conv(self):
+        """The long-context stretch config (BASELINE.json config 5): a 64k-
+        token causal spectral conv sharded over the sp axis, exact vs the
+        unsharded computation."""
+        rng = np.random.default_rng(5)
+        B, T, C, K = 1, 65536, 8, 64
+        x = (rng.standard_normal((B, T, C)) * 0.1).astype(np.float32)
+        k = rng.standard_normal(K).astype(np.float32) * 0.1
+
+        want = np.asarray(causal_fft_conv(jnp.asarray(x), jnp.asarray(k)))
+
+        mesh = sp_mesh(8)
+        xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(None, "sp", None)))
+        got = sequence_sharded_causal_conv(xs, jnp.asarray(k), mesh)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-3)
+
+    def test_spectral_ssm_64k_with_polar_quantized_filter(self):
+        """Spectral SSM over a 64k byte stream in 16-byte chunks, with the
+        EMA state round-tripped through the polar quantizer each macro-step
+        (the BASELINE.json 'polar-quantized filters' stretch)."""
+        from spectral_tpu.core.polar_quantization import PolarQuantizer
+        from spectral_tpu.models.spectral_ssm import SpectralEMA
+
+        rng = np.random.default_rng(6)
+        T, L = 65536, 16
+        n_freqs = L // 2 + 1
+        bytes_ = rng.integers(0, 256, (1, T)).astype(np.int32)
+        xx = (bytes_.reshape(1, T // L, L).astype(np.float32) / 127.5) - 1.0
+        chunks = jnp.fft.rfft(jnp.asarray(xx), axis=-1)  # [1, 4096, 9]
+
+        ema = SpectralEMA(n_freqs=n_freqs, rho_init=0.99)
+        params = ema.init(jax.random.PRNGKey(0), chunks[:, :2])
+        q = PolarQuantizer(mag_bits=4, phase_bits=8)
+
+        state = SpectralEMA.init_state(1, n_freqs)
+        S = chunks.shape[1]
+        for start in range(0, S, 512):  # macro-steps of 512 chunks
+            state = ema.apply(params, chunks[:, start : start + 512], state)
+            # quantization barrier on the carried state
+            q.mag_range = None  # re-adapt per macro-step
+            state = q.dequantize(*q.quantize(state))
+        final = np.asarray(state)
+        assert np.isfinite(final).all()
+        assert 0 < np.abs(final).max() < 1e3
