@@ -92,3 +92,36 @@ def sample_chunk_batch(
     n = corpus_u8.shape[0]
     starts = rng.integers(0, n - (seq_len + chunk) - 1, size=(batch_size,), dtype=np.int64)
     return vectorized_windows(corpus_u8, starts, seq_len, chunk)
+
+
+class WindowedChunkDataset:
+    """Hann-windowed overlapping chunk sampling (anti spectral leakage).
+
+    Reference: fft_lm/bicameral.py:275-323 (defined there for audio-style
+    smooth chunk edges; unused by the reference trainers but part of the
+    public surface).  Hard chunk cuts create "cliffs" => high-frequency
+    noise; overlapping Hann windows taper the edges.
+    """
+
+    def __init__(self, corpus_u8: np.ndarray, seq_len: int, chunk_size: int, overlap: int = 256):
+        self.corpus_u8 = corpus_u8
+        self.seq_len = int(seq_len)
+        self.chunk_size = int(chunk_size)
+        self.overlap = int(overlap)
+        self.stride = self.chunk_size - self.overlap
+        n = corpus_u8.shape[0]
+        self.num_chunks = max(1, (n - seq_len - chunk_size) // max(1, self.stride))
+
+    def get_window(self, idx: int):
+        """Returns (x [seq_len], y [chunk_size], hann [chunk_size])."""
+        start = idx * self.stride
+        x = self.corpus_u8[start : start + self.seq_len].astype(np.int32)
+        y = self.corpus_u8[start + self.seq_len : start + self.seq_len + self.chunk_size].astype(np.int32)
+        window = np.hanning(self.chunk_size).astype(np.float32)
+        return x, y, window
+
+    def sample_batch(self, batch_size: int, rng: "np.random.Generator | None" = None):
+        rng = rng or np.random.default_rng(0)
+        idxs = rng.integers(0, self.num_chunks, batch_size)
+        xs, ys, ws = zip(*(self.get_window(int(i)) for i in idxs))
+        return np.stack(xs), np.stack(ys), np.stack(ws)

@@ -244,3 +244,18 @@ class TestHashWordTokenizer:
         ids = get_token_ids_fast(x, tok)
         assert ids.shape == x.shape
         assert (ids > 0).all()  # equal-chunk assignment covers the window
+
+
+class TestWindowedChunkDataset:
+    def test_windows_and_hann(self):
+        from spectral_tpu.train.data import WindowedChunkDataset
+
+        rng = np.random.default_rng(0)
+        corpus = rng.integers(0, 256, 10000).astype(np.uint8)
+        ds = WindowedChunkDataset(corpus, seq_len=64, chunk_size=512, overlap=256)
+        assert ds.stride == 256 and ds.num_chunks > 0
+        x, y, w = ds.get_window(3)
+        assert x.shape == (64,) and y.shape == (512,) and w.shape == (512,)
+        np.testing.assert_allclose(w, np.hanning(512), atol=1e-6)
+        xs, ys, ws = ds.sample_batch(4, np.random.default_rng(1))
+        assert xs.shape == (4, 64) and ys.shape == (4, 512) and ws.shape == (4, 512)
