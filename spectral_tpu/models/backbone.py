@@ -54,20 +54,24 @@ class SpectralFFNTime(nn.Module):
     """The standard time-domain FFN residual branch (pre-LN, GELU, small init).
 
     Reference: train_fixed_full.py:484-495 (hidden = 2x d_model by default).
+    ``compute_dtype`` runs the matmuls in bf16 on TPU (params stay fp32;
+    LayerNorm and the residual stay fp32 — the reference's AMP analogue).
     """
 
     d_model: int
     ffn_mult: int = 2
     dropout: float = 0.1
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        cdt = jnp.dtype(self.compute_dtype)
         h = nn.LayerNorm(name="ffn_ln")(x)
-        h = nn.Dense(self.d_model * self.ffn_mult, kernel_init=_small_normal, name="ffn_in")(h)
+        h = nn.Dense(self.d_model * self.ffn_mult, kernel_init=_small_normal, dtype=cdt, name="ffn_in")(h)
         h = nn.gelu(h, approximate=False)  # exact erf GELU (torch nn.GELU parity)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.d_model, kernel_init=_small_normal, name="ffn_out")(h)
-        return h
+        h = nn.Dense(self.d_model, kernel_init=_small_normal, dtype=cdt, name="ffn_out")(h)
+        return h.astype(jnp.float32)
 
 
 class FixedSpectralBlock(nn.Module):
@@ -90,6 +94,7 @@ class FixedSpectralBlock(nn.Module):
     dropout: float = 0.1
     ffn_mult: int = 2
     use_pallas_kernel: bool = False  # fused FFT->filter->IFFT Pallas path
+    compute_dtype: str = "float32"  # bf16 for the FFN matmuls (complex stays fp32)
 
     @nn.compact
     def __call__(
@@ -148,7 +153,7 @@ class FixedSpectralBlock(nn.Module):
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         x = residual + y
 
-        ffn = SpectralFFNTime(C, self.ffn_mult, self.dropout, name="ffn")
+        ffn = SpectralFFNTime(C, self.ffn_mult, self.dropout, self.compute_dtype, name="ffn")
         h = ffn(x, deterministic=deterministic)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return x + h
@@ -179,6 +184,8 @@ class FixedSpectralLM(nn.Module):
         extra = {}
         if block_cls is FixedSpectralBlock and cfg.use_pallas_kernel:
             extra["use_pallas_kernel"] = True
+        if block_cls is FixedSpectralBlock and cfg.compute_dtype != "float32":
+            extra["compute_dtype"] = cfg.compute_dtype
         self.blocks = [
             block_cls(
                 d_model=cfg.d_model,
@@ -215,4 +222,6 @@ class FixedSpectralLM(nn.Module):
     ) -> jax.Array:
         """x: [B, T] int32 -> logits [B, T, V] (weight-tied via embed.T)."""
         h = self.forward_hidden(x, cutoff=cutoff, deterministic=deterministic, length=length)
-        return h @ self.embed.embedding.T
+        cdt = jnp.dtype(self.cfg.compute_dtype)
+        logits = h.astype(cdt) @ self.embed.embedding.T.astype(cdt)
+        return logits.astype(jnp.float32)

@@ -221,3 +221,27 @@ class TestFrequencyNativeGradSafety:
         params = model.init(jax.random.PRNGKey(0), x)
         g = jax.grad(lambda p: jnp.sum(model.apply(p, x, cutoff=jnp.int32(16)) ** 2))(params)
         assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+class TestBf16ComputePath:
+    def test_bf16_close_to_fp32_and_faster_dtype(self):
+        cfg32 = tiny_cfg()
+        cfg16 = tiny_cfg(compute_dtype="bfloat16")
+        m32, m16 = FixedSpectralLM(cfg32), FixedSpectralLM(cfg16)
+        x = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 64)).astype(np.int32))
+        params = m32.init(jax.random.PRNGKey(0), x)
+        y32 = np.asarray(m32.apply(params, x))
+        y16 = np.asarray(m16.apply(params, x))  # same param tree (fp32 leaves)
+        assert y16.dtype == np.float32  # outputs stay fp32
+        rel = np.abs(y16 - y32).max() / (np.abs(y32).max() + 1e-9)
+        assert rel < 0.05  # bf16 matmul noise only
+
+    def test_bf16_grads_finite(self):
+        cfg = tiny_cfg(compute_dtype="bfloat16")
+        model = FixedSpectralLM(cfg)
+        x = jnp.asarray(np.random.default_rng(1).integers(0, 256, (2, 64)).astype(np.int32))
+        params = model.init(jax.random.PRNGKey(0), x)
+        g = jax.grad(lambda p: jnp.sum(model.apply(p, x, cutoff=jnp.int32(16)) ** 2))(params)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert all(np.asarray(l).dtype == np.float32 for l in leaves)  # fp32 master grads
