@@ -50,6 +50,35 @@ _EXPORTS = {
     "TrainConfig": "spectral_tpu.models.config",
     "FixedSpectralBlock": "spectral_tpu.models.backbone",
     "FixedSpectralLM": "spectral_tpu.models.backbone",
+    # SST ops (reference: fft_tensor/ops.py)
+    "spectral_conv": "spectral_tpu.core.ops",
+    "spectral_pool": "spectral_tpu.core.ops",
+    "spectral_normalize": "spectral_tpu.core.ops",
+    "spectral_activation": "spectral_tpu.core.ops",
+    "ImplicitWeights": "spectral_tpu.core.ops",
+    "implicit_matmul": "spectral_tpu.core.ops",
+    "spectral_backward": "spectral_tpu.core.ops",
+    # frequency ops (reference: fft_tensor/frequency_ops.py)
+    "FrequencyMatMul": "spectral_tpu.core.frequency_ops",
+    "FrequencyAttention": "spectral_tpu.core.frequency_ops",
+    "ComplexSemanticEmbedding": "spectral_tpu.core.frequency_ops",
+    "FrequencyTransformerLayer": "spectral_tpu.core.frequency_ops",
+    "frequency_relu": "spectral_tpu.core.frequency_ops",
+    "frequency_layernorm": "spectral_tpu.core.frequency_ops",
+    # zero-materialization (reference: fft_tensor/zero_materialize.py)
+    "ConvolutionTheoremMatMul": "spectral_tpu.core.zero_materialize",
+    "FrequencyLinearLayer": "spectral_tpu.core.zero_materialize",
+    "LogarithmicQuantizer": "spectral_tpu.core.zero_materialize",
+    "frequency_linear": "spectral_tpu.core.zero_materialize",
+    "frequency_conv1d": "spectral_tpu.core.zero_materialize",
+    "frequency_conv2d": "spectral_tpu.core.zero_materialize",
+    "frequency_conv3d": "spectral_tpu.core.zero_materialize",
+    # quantization / conversion
+    "PolarQuantizer": "spectral_tpu.core.polar_quantization",
+    "FFTConverter": "spectral_tpu.core.llamaizer",
+    "FFTLlama": "spectral_tpu.core.llamaizer",
+    "FFTGPT": "spectral_tpu.core.llamaizer",
+    "FFTBERT": "spectral_tpu.core.llamaizer",
 }
 
 
