@@ -11,7 +11,11 @@ Run: python benchmarks/benchmark_enhanced.py [--quick]
 from __future__ import annotations
 
 import argparse
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -98,6 +102,9 @@ def train_model(model, corpus, *, steps, batch, seq, lr=3e-3, seed=0):
 
 
 def main():
+    from spectral_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()

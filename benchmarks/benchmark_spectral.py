@@ -10,7 +10,11 @@ Run: python benchmarks/benchmark_spectral.py [--quick]
 from __future__ import annotations
 
 import argparse
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +66,9 @@ def count_params(params) -> int:
 
 
 def main():
+    from spectral_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--dim", type=int, default=256)
