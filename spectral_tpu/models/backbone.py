@@ -186,6 +186,10 @@ class FixedSpectralLM(nn.Module):
             extra["use_pallas_kernel"] = True
         if block_cls is FixedSpectralBlock and cfg.compute_dtype != "float32":
             extra["compute_dtype"] = cfg.compute_dtype
+        if cfg.remat:
+            # trade FLOPs for HBM: recompute each block's activations in the
+            # backward pass (jax.checkpoint) — the long-context memory lever
+            block_cls = nn.remat(block_cls, static_argnums=(3,))  # deterministic (self=0)
         self.blocks = [
             block_cls(
                 d_model=cfg.d_model,
@@ -210,7 +214,8 @@ class FixedSpectralLM(nn.Module):
         """x: [B, T] int32 byte ids -> final hidden states [B, T, C]."""
         h = self.embed(x)
         for blk in self.blocks:
-            h = blk(h, cutoff=cutoff, deterministic=deterministic, length=length)
+            # positional call: nn.remat static_argnums indexes positionally
+            h = blk(h, cutoff, deterministic, length)
         return self.ln_f(h)
 
     def __call__(

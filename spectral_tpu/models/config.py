@@ -65,6 +65,9 @@ class TrainConfig:
     compute_dtype: str = "float32"
     # fused Pallas FFT->filter->IFFT kernel for the standard block's conv
     use_pallas_kernel: bool = False
+    # rematerialize block activations in backward (memory for FLOPs — the
+    # long-context lever; jax.checkpoint per block)
+    remat: bool = False
     # checkpointing
     ckpt_path: str = "fixed_spectral_ckpt.msgpack"
     save_every_epochs: int = 5

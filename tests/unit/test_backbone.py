@@ -245,3 +245,19 @@ class TestBf16ComputePath:
         leaves = jax.tree.leaves(g)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
         assert all(np.asarray(l).dtype == np.float32 for l in leaves)  # fp32 master grads
+
+
+class TestRemat:
+    def test_remat_matches_plain(self):
+        cfg_a = tiny_cfg()
+        cfg_b = tiny_cfg(remat=True)
+        m_a, m_b = FixedSpectralLM(cfg_a), FixedSpectralLM(cfg_b)
+        x = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 64)).astype(np.int32))
+        params = m_a.init(jax.random.PRNGKey(0), x)
+        y_a = np.asarray(m_a.apply(params, x, cutoff=jnp.int32(16)))
+        y_b = np.asarray(m_b.apply(params, x, cutoff=jnp.int32(16)))
+        np.testing.assert_allclose(y_a, y_b, atol=1e-5)
+        g_a = jax.grad(lambda p: jnp.sum(m_a.apply(p, x, cutoff=jnp.int32(16)) ** 2))(params)
+        g_b = jax.grad(lambda p: jnp.sum(m_b.apply(p, x, cutoff=jnp.int32(16)) ** 2))(params)
+        for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
