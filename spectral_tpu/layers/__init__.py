@@ -10,10 +10,46 @@ from spectral_tpu.layers.spectral_layers import (
     HybridSpectralAttention,
     WirtingerSpectralFilter,
 )
+from spectral_tpu.layers.complex_rope import (
+    ComplexRoPE,
+    ComplexRoPESpectralLayer,
+    GatedLinearUnit,
+)
+from spectral_tpu.layers.spectral_enhancements import (
+    CausalFrequencyMask,
+    EnhancedSpectralBlock,
+    GatedSpectralUnit,
+    MultiScaleSpectralFeatures,
+    PhaseAwareSpectralMixing,
+    RotaryFrequencyEmbedding,
+)
+from spectral_tpu.layers.byte_spectral import (
+    ByteSpectralEmbedding,
+    ByteSpectralEncoder,
+    CharacterLevelSpectral,
+    SpectralLanguageModel,
+    TritonByteEncoder,
+    TritonSpectralLanguageModel,
+)
 
 __all__ = [
     "SpectralMixingLayer",
     "SpectralMLPBlock",
     "HybridSpectralAttention",
     "WirtingerSpectralFilter",
+    "ComplexRoPE",
+    "ComplexRoPESpectralLayer",
+    "GatedLinearUnit",
+    "CausalFrequencyMask",
+    "EnhancedSpectralBlock",
+    "GatedSpectralUnit",
+    "MultiScaleSpectralFeatures",
+    "PhaseAwareSpectralMixing",
+    "RotaryFrequencyEmbedding",
+    "ByteSpectralEmbedding",
+    "ByteSpectralEncoder",
+    "CharacterLevelSpectral",
+    "SpectralLanguageModel",
+    "TritonByteEncoder",
+    "TritonSpectralLanguageModel",
 ]

@@ -21,6 +21,7 @@ from spectral_tpu.ops.wirtinger import (
     ComplexParameter,
     complex_init,
 )
+from spectral_tpu.ops.complex_utils import polar, safe_magnitude_phase
 
 __all__ = [
     "next_pow2",
@@ -34,4 +35,10 @@ __all__ = [
     "frequency_conv",
     "ComplexParameter",
     "complex_init",
+    "polar",
+    "safe_magnitude_phase",
 ]
+
+# Pallas kernels import lazily (jax.experimental.pallas is heavy):
+#   from spectral_tpu.ops.pallas_spectral import fused_spectral_conv
+#   from spectral_tpu.ops.pallas_byte import byte_encode_pallas
