@@ -25,12 +25,10 @@ class OptimizedFrequencyOps:
     """Size-adaptive dispatch (reference optimized_ops.py:13-265)."""
 
     @staticmethod
-    @jax.jit
+    @partial(jax.jit, static_argnums=(1,))
     def fast_topk_sparse(freq: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
-        """Top-k magnitude selection over a flattened spectrum (jitted).
-
-        Note: k must be static under jit; wrap calls accordingly.
-        """
+        """Top-k magnitude selection over a flattened spectrum (jitted;
+        k is a static argument — lax.top_k needs a compile-time k)."""
         flat = freq.reshape(-1)
         mag = jnp.abs(flat)
         _, idx = jax.lax.top_k(mag, k)

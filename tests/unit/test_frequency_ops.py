@@ -109,3 +109,35 @@ class TestFrequencyActivations:
         ratio = np.mod(np.abs(ratio), np.pi)
         ok = (ratio < 1e-4) | (np.abs(ratio - np.pi) < 1e-4)
         assert ok.all()
+
+
+class TestOptimizedOps:
+    def test_fast_topk_sparse_roundtrip(self):
+        from spectral_tpu.core.optimized_ops import OptimizedFrequencyOps as O
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((32, 32)).astype(np.float32))
+        coeffs, idx, shape = O.optimized_sparse_fft(x, sparsity=1.0)
+        back = O.optimized_sparse_ifft(coeffs, idx, shape)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+
+    def test_fast_topk_static_k(self):
+        from spectral_tpu.core.optimized_ops import OptimizedFrequencyOps as O
+
+        freq = jnp.asarray((np.arange(16) + 0j).astype(np.complex64))
+        coeffs, idx = O.fast_topk_sparse(freq, 4)
+        assert sorted(np.asarray(idx).tolist()) == [12, 13, 14, 15]
+
+    def test_adaptive_conv_dispatch(self):
+        import torch
+
+        from spectral_tpu.core.optimized_ops import OptimizedFrequencyOps as O
+
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal((2, 3, 50)).astype(np.float32)
+        for K in (5, 80):  # below/above the direct-vs-FFT switch
+            k = rng.standard_normal((4, 3, K)).astype(np.float32)
+            pad = K // 2
+            got = np.asarray(O.fast_frequency_conv1d(jnp.asarray(x), jnp.asarray(k), padding=pad))
+            want = torch.nn.functional.conv1d(torch.tensor(x), torch.tensor(k), padding=pad).numpy()
+            np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
