@@ -59,7 +59,3 @@ class OptimizedSparseSpectralTensor(SparseSpectralTensor):
 
     def invalidate_cache(self) -> None:
         self._spatial_cache = None
-
-    def __mul__(self, other):
-        out = super().__mul__(other)
-        return out

@@ -141,3 +141,25 @@ class TestMemoryManager:
         randn_sst((32, 32))
         MemoryManager.clear_all()
         assert MemoryManager.get_stats()["n_tensors"] == 0
+
+
+class TestProductionReady:
+    def test_cached_sst_and_dispatch(self):
+        from spectral_tpu.core.production_ready import (
+            OptimizedSparseSpectralTensor,
+            ProductionFrequencyOps,
+        )
+
+        x = smooth_signal((64, 32))
+        t = OptimizedSparseSpectralTensor(data=x, sparsity=0.5)
+        a = t.to_spatial()
+        b = t.to_spatial()
+        assert a is b  # cached
+        t.invalidate_cache()
+        assert t.to_spatial() is not a
+
+        # adaptive dispatch entry points
+        c = ProductionFrequencyOps.compress(jnp.asarray(x), sparsity=0.2)
+        assert c.compress_ratio() > 4
+        y = ProductionFrequencyOps.matmul(jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 64)).astype(np.float32)), sst(np.random.default_rng(1).standard_normal((64, 16)).astype(np.float32), sparsity=1.0))
+        assert y.shape == (1, 4, 16)
