@@ -36,6 +36,14 @@ def main(argv=None) -> None:
     cfg = TrainConfig.from_dict(ck.get("cfg", {}), **overrides)
     model = FixedSpectralLM(cfg)
 
+    # default to the checkpoint's curriculum cutoff: sampling at full
+    # bandwidth from a model trained at a lower cutoff degenerates
+    # (reference: "Use stage cutoff for stable samples",
+    # train_fixed_full.py:981-983)
+    cutoff = args.cutoff
+    if cutoff is None:
+        cutoff = ck.get("train_state", {}).get("cutoff")
+
     apply_gen = lambda p, x, c, length: model.apply(
         {"params": p}, x, cutoff=c, deterministic=True, length=length
     )
@@ -44,7 +52,7 @@ def main(argv=None) -> None:
         ck["params"],
         " ".join(args.prompt),
         cfg,
-        cutoff=args.cutoff,
+        cutoff=cutoff,
         max_new=args.max_new,
         seed=args.seed,
     )
