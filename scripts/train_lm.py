@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frequency-native", action="store_true")
     p.add_argument("--bicameral", action="store_true")
     p.add_argument("--compute-dtype", type=str, default=None, choices=["float32", "bfloat16"])
+    p.add_argument("--mesh-dp", type=int, default=None, help="data-parallel mesh axis size")
+    p.add_argument("--mesh-sp", type=int, default=None, help="sequence-parallel mesh axis size")
+    p.add_argument("--mesh-tp", type=int, default=None, help="tensor-parallel mesh axis size")
     return p
 
 
@@ -74,6 +77,9 @@ _ARG_TO_FIELD = {
     "val_batches": "val_batches",
     "eval_every_epochs": "eval_every_epochs",
     "compute_dtype": "compute_dtype",
+    "mesh_dp": "mesh_dp",
+    "mesh_sp": "mesh_sp",
+    "mesh_tp": "mesh_tp",
 }
 
 

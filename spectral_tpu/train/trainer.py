@@ -148,8 +148,20 @@ def train(cfg: TrainConfig, *, resume: bool = False, no_sawtooth: bool = False,
     log(f"Params: {count_params(params):,} (~{count_params(params)/1e6:.2f}M)")
 
     tx = make_optimizer(cfg)
-    opt_state = tx.init(params)
-    train_step = make_train_step(model, cfg, tx)
+    n_mesh = cfg.mesh_dp * cfg.mesh_sp * cfg.mesh_tp
+    if n_mesh > 1:
+        # multi-chip: shard the step over a (dp, sp, tp) mesh
+        from spectral_tpu.parallel.mesh import make_mesh, shard_params
+        from spectral_tpu.parallel.sharded_train import make_sharded_train_step
+
+        mesh = make_mesh(dp=cfg.mesh_dp, sp=cfg.mesh_sp, tp=cfg.mesh_tp)
+        log(f"Mesh: dp={cfg.mesh_dp} sp={cfg.mesh_sp} tp={cfg.mesh_tp} over {n_mesh} devices")
+        params = shard_params(params, mesh)
+        opt_state = tx.init(params)
+        train_step, opt_state = make_sharded_train_step(model, cfg, tx, mesh)(params, opt_state)
+    else:
+        opt_state = tx.init(params)
+        train_step = make_train_step(model, cfg, tx)
 
     state = TrainState()
     if resume:

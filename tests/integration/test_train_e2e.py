@@ -176,3 +176,25 @@ class TestSchedules:
         improving = list(np.linspace(2.0, 1.0, 60))
         c, raised = schedules.adaptive_cutoff(2, 128, improving, 1025)
         assert not raised
+
+
+class TestMeshTrainer:
+    def test_trainer_with_mesh_config(self, tiny_corpus, tmp_path):
+        """The trainer routes through the sharded pjit step when mesh axes
+        are configured (runs on the virtual 8-device CPU mesh)."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            import pytest
+
+            pytest.skip("needs 8 virtual devices")
+        cfg = tiny_cfg(
+            tiny_corpus, str(tmp_path),
+            mesh_dp=2, mesh_sp=2, mesh_tp=2,
+            epochs=1, steps_per_epoch=8, batch_size=4, accum_steps=2,
+        )
+        logs = []
+        out = train(cfg, no_val=True, log=logs.append)
+        assert any("Mesh: dp=2 sp=2 tp=2" in l for l in logs)
+        h = out["state"].loss_history
+        assert len(h) == 8 and all(np.isfinite(v) for v in h)
