@@ -17,8 +17,6 @@ Pure-jnp reference: spectral_tpu.layers.byte_spectral.byte_dft_features
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

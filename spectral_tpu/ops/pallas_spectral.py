@@ -28,13 +28,9 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from spectral_tpu.ops.fftc import next_pow2
 
 try:  # Pallas is TPU/Mosaic-specific; keep the module importable anywhere
     from jax.experimental import pallas as pl

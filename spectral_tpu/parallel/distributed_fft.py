@@ -19,9 +19,6 @@ communication volume — riding ICI via jax.lax.all_to_all under shard_map.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

@@ -8,7 +8,6 @@ collectives (grad psum over dp, FFN psum over tp, re-shards around the FFT).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -20,9 +20,6 @@ tokens in Python); the per-token step is a single jitted function.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
