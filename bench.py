@@ -57,11 +57,19 @@ def main() -> None:
     iters = 10 if args.quick else 50
     try:
         tok_s, dt = bench_spectral_mix(seq=args.seq, iters=iters)
+        # roofline accounting (BASELINE.json: "fused rFFT GB/s vs HBM roofline"):
+        # ideal traffic = fp32 input read + output write of (8, seq, 256)
+        from spectral_tpu.utils.profiling import HBM_PEAK_GBPS, detect_chip
+
+        bytes_moved = 2 * 8 * args.seq * 256 * 4
+        gbps = bytes_moved / dt / 1e9
         result = {
             "metric": "spectral_mix_tokens_per_sec_seq4k",
             "value": round(tok_s, 1),
             "unit": "tokens/sec/chip",
             "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+            "effective_gbps": round(gbps, 1),
+            "hbm_roofline_fraction": round(gbps / HBM_PEAK_GBPS[detect_chip()], 3),
         }
     except Exception as e:  # emit a parseable failure record
         result = {

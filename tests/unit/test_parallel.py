@@ -79,3 +79,18 @@ class TestMesh:
         l_sh = jax.tree.leaves(p_sh)
         for a, b in zip(l_ref, l_sh):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+class TestProfiling:
+    def test_measure_bandwidth_and_gate(self):
+        import jax.numpy as jnp
+
+        from spectral_tpu.utils.profiling import assert_roofline, measure_bandwidth
+
+        x = jnp.ones((256, 256), jnp.float32)
+        f = jax.jit(lambda x: x * 2.0)
+        r = measure_bandwidth(f, x, bytes_moved=2 * x.size * 4, iters=5, warmup=2)
+        assert r.achieved_gbps > 0 and r.peak_gbps > 0
+        assert_roofline(r, min_fraction=0.0)
+        with pytest.raises(AssertionError, match="roofline"):
+            assert_roofline(r, min_fraction=10.0)
