@@ -56,12 +56,9 @@ def make_sharded_train_step(model, cfg: TrainConfig, tx, mesh: Mesh) -> Callable
         return params, opt_state, loss_sum / accum
 
     # --- sharding declarations
-    pspecs = None
-
     def build(params_example, opt_state_example):
         """Returns (jitted_step, opt_state) with the opt state committed to
         the mesh (param-following shardings for moments, replicated scalars)."""
-        nonlocal pspecs
         pspecs = param_pspecs(params_example)
         param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs)
 
