@@ -1,0 +1,100 @@
+"""Loss-curve overlay: our trainer vs the fresh-torch reference LM.
+
+Extended version of tests/integration/test_loss_parity.py: N identical
+Adam steps on identical batches, printed as an overlay table.  This is the
+BASELINE.md "LM loss curves match the reference" artifact.
+
+Run: python experiments/loss_parity_run.py [--steps 200]
+"""
+
+import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+from spectral_tpu.utils.platform import apply_platform_env
+
+
+def main():
+    apply_platform_env()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    import torch
+
+    from spectral_tpu.models.backbone import FixedSpectralLM
+    from spectral_tpu.models.config import TrainConfig
+    from spectral_tpu.train.evaluate import cross_entropy
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tests" / "integration"))
+    from test_loss_parity import TorchLM, copy_params_to_torch
+
+    cfg = TrainConfig(
+        d_model=64, n_layers=2, seq_len=128, kernel_len=32, jpeg_transition=8,
+        batch_size=8, dropout=0.0, lr=1e-3, weight_decay=0.0,
+    )
+    model = FixedSpectralLM(cfg)
+    rng = np.random.default_rng(0)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((cfg.batch_size, cfg.seq_len), jnp.int32))["params"]
+    tmodel = TorchLM(cfg)
+    copy_params_to_torch(params, tmodel, cfg.n_layers)
+
+    # a real corpus: structured synthetic text
+    words = ["the ", "cat ", "sat ", "on ", "a ", "mat. ", "dogs ", "run ", "far. "]
+    corpus = np.frombuffer("".join(rng.choice(words) for _ in range(20000)).encode(), dtype=np.uint8)
+
+    def batch():
+        starts = rng.integers(0, corpus.shape[0] - cfg.seq_len - 2, cfg.batch_size)
+        idx = starts[:, None] + np.arange(cfg.seq_len + 1)
+        w = corpus[idx]
+        return w[:, :-1].astype(np.int32), w[:, 1:].astype(np.int32)
+
+    batches = [batch() for _ in range(args.steps)]
+    cutoff = 48
+
+    tx = optax.adam(cfg.lr)
+    state = tx.init(params)
+
+    @jax.jit
+    def step(p, s, bx, by):
+        l, g = jax.value_and_grad(
+            lambda p: cross_entropy(model.apply({"params": p}, bx, cutoff=jnp.int32(cutoff), deterministic=True), by)
+        )(p)
+        u, s = tx.update(g, s)
+        return optax.apply_updates(p, u), s, l
+
+    jax_losses = []
+    p = params
+    for bx, by in batches:
+        p, state, l = step(p, state, jnp.asarray(bx), jnp.asarray(by))
+        jax_losses.append(float(l))
+
+    opt = torch.optim.Adam(tmodel.parameters(), lr=cfg.lr)
+    lf = torch.nn.CrossEntropyLoss()
+    torch_losses = []
+    for bx, by in batches:
+        opt.zero_grad()
+        logits = tmodel(torch.tensor(bx.astype(np.int64)), cutoff=cutoff)
+        loss = lf(logits.reshape(-1, 256), torch.tensor(by.reshape(-1).astype(np.int64)))
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.item()))
+
+    print(f"{'step':>6} {'spectral_tpu':>13} {'torch ref':>11} {'rel diff':>9}")
+    for i in range(0, args.steps, max(1, args.steps // 20)):
+        j, t = jax_losses[i], torch_losses[i]
+        print(f"{i:>6} {j:>13.5f} {t:>11.5f} {abs(j-t)/t:>8.2%}")
+    j, t = jax_losses[-1], torch_losses[-1]
+    print(f"{args.steps-1:>6} {j:>13.5f} {t:>11.5f} {abs(j-t)/t:>8.2%}")
+    max_rel = max(abs(a - b) / b for a, b in zip(jax_losses, torch_losses))
+    print(f"\nmax relative divergence over {args.steps} steps: {max_rel:.3%}")
+
+
+if __name__ == "__main__":
+    main()
