@@ -159,3 +159,150 @@ class FIRStream:
             out.append(nxt)
             last = np.asarray([nxt], np.int32)
         return bytes(out).decode("utf-8", errors="replace")
+
+
+class DeviceSampler:
+    """On-device penalty stack + nucleus sampling (jit/scan-friendly).
+
+    Reproduces train.sampling.penalize_logits/sample_from_logits semantics
+    with carried state instead of a Python context list:
+      * repetition penalty over a 256-byte ring window (count vector)
+      * presence/frequency penalties from the same counts
+      * ascii-only + \r bans (static mask)
+      * hard anti-stutter (run-length carry)
+      * temperature -> top-p -> categorical draw
+    """
+
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        banned = np.ones(256, np.bool_)
+        banned[10] = False
+        banned[32:127] = False
+        self.ascii_banned = jnp.asarray(banned if cfg.ascii_only else np.zeros(256, np.bool_))
+        self.ban_cr = cfg.ban_cr
+
+    def init_state(self, prompt_ids: list[int]):
+        """Carried sampler state seeded from the prompt's recent window."""
+        window = ([0] * 256 + list(prompt_ids))[-256:]
+        ring = np.asarray(window, np.int32)
+        counts = np.zeros(256, np.int32)
+        recent = prompt_ids[-256:]
+        for b in recent:
+            counts[b] += 1
+        # account for ring zeros that are padding, not emitted bytes
+        pad = 256 - len(recent)
+        run_byte = prompt_ids[-1] if prompt_ids else 32
+        run_len = 0
+        for b in reversed(prompt_ids):
+            if b == run_byte:
+                run_len += 1
+            else:
+                break
+        return {
+            "ring": jnp.asarray(ring),
+            "ring_pos": jnp.int32(0),
+            "counts": jnp.asarray(counts),
+            "pad_left": jnp.int32(pad),
+            "run_byte": jnp.int32(run_byte),
+            "run_len": jnp.int32(run_len),
+        }
+
+    def process_logits(self, logits: jax.Array, state: dict) -> jax.Array:
+        """[256] raw logits -> penalized, tempered, nucleus-masked logits."""
+        cfg = self.cfg
+        l = logits.astype(jnp.float32)
+        present = state["counts"] > 0
+        l = jnp.where(present, l / cfg.repetition_penalty, l)
+        if cfg.presence_penalty or cfg.frequency_penalty:
+            l = jnp.where(
+                present,
+                l - cfg.presence_penalty - cfg.frequency_penalty * state["counts"].astype(jnp.float32),
+                l,
+            )
+        l = jnp.where(self.ascii_banned, -jnp.inf, l)
+        if self.ban_cr:
+            l = l.at[13].set(-jnp.inf)
+        stutter = (state["run_len"] >= cfg.max_run_length) & (jnp.arange(256) == state["run_byte"])
+        l = jnp.where(stutter, -jnp.inf, l)
+        l = l / cfg.temperature
+        if cfg.top_p is not None and cfg.top_p < 1.0:
+            order = jnp.argsort(-l)
+            sorted_l = l[order]
+            probs = jax.nn.softmax(sorted_l)
+            cdf = jnp.cumsum(probs)
+            keep_sorted = (cdf <= cfg.top_p).at[0].set(True)
+            rank = jnp.argsort(order)
+            keep = keep_sorted[rank]
+            l = jnp.where(keep, l, -jnp.inf)
+        if cfg.top_k and cfg.top_k > 0:
+            kth = jnp.sort(l)[-min(cfg.top_k, 256)]
+            l = jnp.where(l < kth, -jnp.inf, l)
+        return l
+
+    def draw_and_update(self, rng, logits, state):
+        """Sample a byte and advance the carried penalty state."""
+        nxt = jax.random.categorical(rng, logits).astype(jnp.int32)
+        ring, pos = state["ring"], state["ring_pos"]
+        old = ring[pos]
+        # the ring's left padding holds placeholder zeros that were never
+        # counted; don't decrement while padding remains
+        is_pad = state["pad_left"] > 0
+        counts = state["counts"]
+        counts = jnp.where(
+            is_pad, counts, counts.at[old].add(-1)
+        )
+        counts = counts.at[nxt].add(1)
+        new_state = {
+            "ring": ring.at[pos].set(nxt),
+            "ring_pos": (pos + 1) % 256,
+            "counts": counts,
+            "pad_left": jnp.maximum(state["pad_left"] - 1, 0),
+            "run_byte": nxt,
+            "run_len": jnp.where(nxt == state["run_byte"], state["run_len"] + 1, jnp.int32(1)),
+        }
+        return nxt, new_state
+
+
+def fir_generate_on_device(
+    stream: "FIRStream",
+    prompt: str,
+    *,
+    max_new: int = 400,
+    seed: int = 0,
+) -> str:
+    """Generate max_new bytes in ONE device call: warmup scan + a sampling
+    scan carrying (FIR buffers, sampler state, rng) — no per-token host
+    round-trips (the TPU-native serving path; the reference loops tokens in
+    Python, stream_generate_fast.py:221-234)."""
+    cfg = stream.cfg
+    prefix = list(prompt.encode("utf-8", errors="ignore")) or [32]
+    sampler = DeviceSampler(cfg)
+
+    bufs = stream.init_state(batch=1)
+    if len(prefix) > 1:
+        bufs = stream.warmup(bufs, np.asarray([prefix[:-1]], np.int32))
+    samp_state = sampler.init_state(prefix)
+
+    @jax.jit
+    def run(params, bufs, samp_state, last_id, rng):
+        def body(carry, _):
+            bufs, samp_state, last_id, rng = carry
+            bufs, logits = stream._step_impl(params, bufs, last_id)
+            l = sampler.process_logits(logits[0], samp_state)
+            rng, sub = jax.random.split(rng)
+            nxt, samp_state = sampler.draw_and_update(sub, l, samp_state)
+            return (bufs, samp_state, nxt[None], rng), nxt
+
+        (_, _, _, _), out = jax.lax.scan(
+            body, (bufs, samp_state, last_id, rng), None, length=max_new
+        )
+        return out
+
+    out = run(
+        stream.params,
+        bufs,
+        samp_state,
+        jnp.asarray([prefix[-1]], jnp.int32),
+        jax.random.PRNGKey(seed),
+    )
+    return bytes(prefix + [int(b) for b in np.asarray(out)]).decode("utf-8", errors="replace")

@@ -151,3 +151,61 @@ class TestOverlapSaveStream:
         for _ in range(5):
             state = stream.update_chunk(state, rng.integers(0, 256, 8).tolist())
         assert state_bytes(state) == before
+
+
+class TestOnDeviceGeneration:
+    def test_process_logits_matches_host_sampler(self):
+        """Device penalty stack == numpy penalize_logits + temperature + top-p."""
+        from spectral_tpu.streaming.fir import DeviceSampler
+        from spectral_tpu.train.sampling import apply_top_p, penalize_logits
+
+        cfg = tiny_cfg(repetition_penalty=1.25, temperature=0.8, top_p=0.9)
+        sampler = DeviceSampler(cfg)
+        rng = np.random.default_rng(0)
+        ctx = [104, 101, 108, 108, 111] * 3  # "hello"x3
+        state = sampler.init_state(ctx)
+        logits = rng.standard_normal(256).astype(np.float32) * 2
+
+        got = np.asarray(sampler.process_logits(jnp.asarray(logits), state))
+        want = penalize_logits(logits, ctx, cfg) / cfg.temperature
+        want = apply_top_p(want, cfg.top_p)
+        np.testing.assert_array_equal(np.isinf(got), np.isinf(want))
+        finite = ~np.isinf(got)
+        np.testing.assert_allclose(got[finite], want[finite], rtol=1e-4)
+
+    def test_single_call_generation(self):
+        from spectral_tpu.streaming.fir import fir_generate_on_device
+
+        cfg = tiny_cfg(max_run_length=6)
+        model, params = make_model(cfg)
+        stream = FIRStream(params, cfg)
+        out = fir_generate_on_device(stream, "hello world", max_new=32, seed=1)
+        body = out.encode("utf-8", errors="ignore")
+        assert len(body) >= 32 + 11
+        for b in body:
+            assert b == 10 or (32 <= b <= 126)  # ascii_only enforced on device
+
+    def test_anti_stutter_on_device(self):
+        """Force a degenerate model (constant logits favoring one byte) and
+        check the run-length ban caps repeats at max_run_length."""
+        from spectral_tpu.streaming.fir import DeviceSampler
+
+        cfg = tiny_cfg(max_run_length=4, top_p=1.0, repetition_penalty=1.0, temperature=1.0)
+        sampler = DeviceSampler(cfg)
+        state = sampler.init_state([65])
+        logits = jnp.full((256,), -20.0).at[65].set(20.0).at[66].set(10.0)
+        rng = jax.random.PRNGKey(0)
+        seq = []
+        for i in range(12):
+            l = sampler.process_logits(logits, state)
+            rng, sub = jax.random.split(rng)
+            nxt, state = sampler.draw_and_update(sub, l, state)
+            seq.append(int(nxt))
+        # never more than max_run_length consecutive 65s
+        run, max_run = 0, 0
+        prev = 65
+        for b in [65] + seq:
+            run = run + 1 if b == prev else 1
+            prev = b
+            max_run = max(max_run, run)
+        assert max_run <= cfg.max_run_length
