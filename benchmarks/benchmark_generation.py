@@ -1,0 +1,72 @@
+"""Decode-path benchmark: tokens/sec across the three generation strategies.
+
+* full-recompute host loop (reference generate, O(T) fwd/byte)
+* FIR streaming host loop (O(K)/byte, per-token host round-trip)
+* FIR streaming ON-DEVICE (single lax.scan call — the serving path)
+
+Run: python benchmarks/benchmark_generation.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+
+def main():
+    from spectral_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from spectral_tpu.models.backbone import FixedSpectralLM
+    from spectral_tpu.models.config import TrainConfig
+    from spectral_tpu.streaming.fir import FIRStream, fir_generate_on_device
+    from spectral_tpu.train.sampling import generate
+
+    if args.quick:
+        cfg = TrainConfig(d_model=64, n_layers=2, seq_len=128, kernel_len=16, jpeg_transition=8, dropout=0.0)
+        max_new = 64
+    else:
+        cfg = TrainConfig(d_model=256, n_layers=4, seq_len=512, kernel_len=64, jpeg_transition=32, dropout=0.0)
+        max_new = 256
+    print(f"device: {jax.devices()[0]}  model: d{cfg.d_model}x{cfg.n_layers} seq{cfg.seq_len} K{cfg.kernel_len}")
+
+    model = FixedSpectralLM(cfg)
+    import jax.numpy as jnp
+
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, cfg.seq_len), jnp.int32))["params"]
+    prompt = "Once upon a time there was a"
+
+    apply_gen = lambda p, x, c, length: model.apply({"params": p}, x, cutoff=c, deterministic=True, length=length)
+
+    # warm each path once (compiles), then time
+    def timed(label, fn):
+        fn()  # warm/compile
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        print(f"{label:<28} {max_new/dt:10.1f} bytes/sec   ({dt*1e3/max_new:6.2f} ms/byte)")
+        return dt
+
+    t_full = timed("full recompute (host loop)", lambda: generate(apply_gen, params, prompt, cfg, max_new=max_new))
+
+    stream = FIRStream(params, cfg)
+    t_fir = timed("FIR streaming (host loop)", lambda: stream.generate(prompt, max_new=max_new))
+
+    t_dev = timed("FIR streaming (on-device)", lambda: fir_generate_on_device(stream, prompt, max_new=max_new))
+
+    print(f"\non-device speedup: {t_full/t_dev:.1f}x vs full recompute, {t_fir/t_dev:.1f}x vs host-loop FIR")
+
+
+if __name__ == "__main__":
+    main()

@@ -283,20 +283,31 @@ def fir_generate_on_device(
         bufs = stream.warmup(bufs, np.asarray([prefix[:-1]], np.int32))
     samp_state = sampler.init_state(prefix)
 
-    @jax.jit
-    def run(params, bufs, samp_state, last_id, rng):
-        def body(carry, _):
-            bufs, samp_state, last_id, rng = carry
-            bufs, logits = stream._step_impl(params, bufs, last_id)
-            l = sampler.process_logits(logits[0], samp_state)
-            rng, sub = jax.random.split(rng)
-            nxt, samp_state = sampler.draw_and_update(sub, l, samp_state)
-            return (bufs, samp_state, nxt[None], rng), nxt
+    # cache the compiled scan per (max_new, sampler config) on the stream —
+    # rebuilding the jit closure per call would recompile every generation
+    cache = getattr(stream, "_gen_cache", None)
+    if cache is None:
+        cache = stream._gen_cache = {}
+    key = (max_new, tuple(sorted(sampler.cfg.to_dict().items())))
+    run = cache.get(key)
+    if run is None:
 
-        (_, _, _, _), out = jax.lax.scan(
-            body, (bufs, samp_state, last_id, rng), None, length=max_new
-        )
-        return out
+        @jax.jit
+        def run(params, bufs, samp_state, last_id, rng):
+            def body(carry, _):
+                bufs, samp_state, last_id, rng = carry
+                bufs, logits = stream._step_impl(params, bufs, last_id)
+                l = sampler.process_logits(logits[0], samp_state)
+                rng, sub = jax.random.split(rng)
+                nxt, samp_state = sampler.draw_and_update(sub, l, samp_state)
+                return (bufs, samp_state, nxt[None], rng), nxt
+
+            (_, _, _, _), out = jax.lax.scan(
+                body, (bufs, samp_state, last_id, rng), None, length=max_new
+            )
+            return out
+
+        cache[key] = run
 
     out = run(
         stream.params,
