@@ -247,3 +247,30 @@ class TritonSpectralLanguageModel(nn.Module):
             )
         h = nn.LayerNorm(name="norm")(h)
         return nn.Dense(256, name="output")(h)
+
+
+def _self_test():  # pragma: no cover - CLI self-test
+    """python -m spectral_tpu.layers.byte_spectral"""
+    import numpy as np
+
+    print("BYTE-SPECTRAL TEST")
+    r = analyze_text_spectrum("the cat sat on the mat")
+    print(f"  magnitude shift-invariant: {r['magnitude_shift_invariant']}  phase changed: {r['phase_changed']}")
+    assert r["magnitude_shift_invariant"] and r["phase_changed"]
+
+    x = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 64)).astype(np.int32))
+    emb = ByteSpectralEmbedding(embed_dim=32)
+    p = emb.init(jax.random.PRNGKey(0), x)
+    print(f"  ByteSpectralEmbedding: {emb.apply(p, x).shape} [OK] (no embedding table)")
+
+    lm = SpectralLanguageModel(embed_dim=32, num_layers=1, max_seq_len=64, dropout=0.0)
+    pl_ = lm.init(jax.random.PRNGKey(0), x)
+    print(f"  SpectralLanguageModel logits: {lm.apply(pl_, x).shape} [OK]")
+    print("ALL BYTE-SPECTRAL TESTS PASSED")
+
+
+if __name__ == "__main__":
+    from spectral_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    _self_test()

@@ -90,3 +90,32 @@ class ComplexRoPESpectralLayer(nn.Module):
         h = nn.LayerNorm(name="norm2")(x)
         h = GatedLinearUnit(self.dim, name="glu")(h)
         return residual + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
+def _self_test():  # pragma: no cover - CLI self-test (reference :229-309)
+    """python -m spectral_tpu.layers.complex_rope"""
+    import numpy as np
+
+    print("COMPLEX ROPE TEST")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 256, 128)).astype(np.float32))
+    rope = ComplexRoPE(dim=128)
+    xf = jnp.fft.fft(x, axis=1)
+    out = rope(xf)
+    applied = np.mod(np.angle(np.asarray(out)) - np.angle(np.asarray(xf)), 2 * np.pi)
+    print(f"  rotation at pos 1, pair 0: {applied[0,1,0]:.4f} rad (theta_0 = 1.0)")
+    assert abs(applied[0, 1, 0] - 1.0) < 1e-2, "position must rotate phase"
+    print("  [OK] Position changes phase")
+
+    layer = ComplexRoPESpectralLayer(dim=128)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    y = layer.apply(params, x)
+    assert y.shape == x.shape
+    print("  [OK] Full ComplexRoPE spectral layer working")
+
+
+if __name__ == "__main__":
+    from spectral_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    _self_test()

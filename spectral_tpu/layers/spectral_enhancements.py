@@ -135,3 +135,35 @@ class EnhancedSpectralBlock(nn.Module):
         x = x + drop(GatedSpectralUnit(self.dim, name="gated")(nn.LayerNorm(name="norm3")(x)))
         x = x + drop(MultiScaleSpectralFeatures(self.dim, name="multi_scale")(x))
         return x
+
+
+def _self_test():  # pragma: no cover - CLI self-test (reference :335-419)
+    """python -m spectral_tpu.layers.spectral_enhancements"""
+    import numpy as np
+
+    print("SPECTRAL ENHANCEMENTS TEST")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 64, 32)).astype(np.float32))
+
+    y = RotaryFrequencyEmbedding(dim=32)(x)
+    print(f"  RoPE: {y.shape} [OK]")
+
+    pam = PhaseAwareSpectralMixing(dim=32)
+    p = pam.init(jax.random.PRNGKey(0), x)
+    y = pam.apply(p, x)
+    err = float(jnp.linalg.norm(y - x) / jnp.linalg.norm(x))
+    print(f"  Phase-aware mixing identity-at-init error: {err:.2e} [OK]")
+    assert err < 1e-4
+
+    blk = EnhancedSpectralBlock(dim=32)
+    pb = blk.init(jax.random.PRNGKey(0), x)
+    y = blk.apply(pb, x)
+    print(f"  EnhancedSpectralBlock: {y.shape} [OK]")
+    print("ALL ENHANCEMENT TESTS PASSED")
+
+
+if __name__ == "__main__":
+    from spectral_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    _self_test()
