@@ -22,6 +22,8 @@ def main(argv=None) -> None:
     ap.add_argument("--top-k", type=int, default=0)
     ap.add_argument("--rep", type=float, default=1.25)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--on-device", action="store_true",
+                    help="run the whole sampling loop in one jitted lax.scan")
     args = ap.parse_args(argv)
 
     from spectral_tpu.models.config import TrainConfig
@@ -36,15 +38,26 @@ def main(argv=None) -> None:
         params = params["backbone"]
 
     stream = FIRStream(params, cfg)
-    out = stream.generate(
-        " ".join(args.prompt),
-        max_new=args.max_new,
-        temperature=args.temperature,
-        top_p=args.top_p,
-        top_k=args.top_k,
-        repetition_penalty=args.rep,
-        seed=args.seed,
-    )
+    prompt = " ".join(args.prompt)
+    if args.on_device:
+        from spectral_tpu.streaming.fir import fir_generate_on_device
+
+        gen_cfg = cfg.replace(
+            temperature=args.temperature, top_p=args.top_p, top_k=args.top_k,
+            repetition_penalty=args.rep,
+        )
+        stream.cfg = gen_cfg
+        out = fir_generate_on_device(stream, prompt, max_new=args.max_new, seed=args.seed)
+    else:
+        out = stream.generate(
+            prompt,
+            max_new=args.max_new,
+            temperature=args.temperature,
+            top_p=args.top_p,
+            top_k=args.top_k,
+            repetition_penalty=args.rep,
+            seed=args.seed,
+        )
     print(safe_console(out))
 
 

@@ -12,7 +12,7 @@ Both are expressed as pure (params, state) -> (state, out) functions that jit
 and ``lax.scan`` cleanly.
 """
 
-from spectral_tpu.streaming.fir import FIRStream
+from spectral_tpu.streaming.fir import DeviceSampler, FIRStream, fir_generate_on_device
 from spectral_tpu.streaming.overlap_save import OverlapSaveStream
 
-__all__ = ["FIRStream", "OverlapSaveStream"]
+__all__ = ["FIRStream", "OverlapSaveStream", "DeviceSampler", "fir_generate_on_device"]
