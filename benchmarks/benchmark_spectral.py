@@ -120,6 +120,22 @@ def main():
     print(f"spectral block {t_sb*1e3:.3f} ms   transformer block {t_tb*1e3:.3f} ms   "
           f"speedup {t_tb/t_sb:.1f}x")
 
+    print("\n== Activation memory (XLA memory analysis), seq 512 ==")
+    try:
+        def peak_temp(module, p, x, **kw):
+            lowered = jax.jit(lambda p, x: module.apply(p, x, **kw)).lower(p, x)
+            ma = lowered.compile().memory_analysis()
+            return None if ma is None else ma.temp_size_in_bytes
+        m_s = peak_temp(sb, sbp, x, deterministic=True)
+        m_t = peak_temp(tb, tbp, x)
+        if m_s and m_t:
+            print(f"spectral block temp {m_s/1e6:.1f} MB   transformer block temp {m_t/1e6:.1f} MB   "
+                  f"({m_t/m_s:.1f}x less)")
+        else:
+            print("memory analysis unavailable on this backend")
+    except Exception as e:
+        print(f"memory analysis unavailable: {str(e)[:60]}")
+
     print("\n== Parameter counts (mixing layer vs attention) ==")
     n_s = count_params(sp)
     n_a = count_params(ap_)
