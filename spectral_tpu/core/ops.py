@@ -144,7 +144,7 @@ def implicit_matmul(
     # contraction dim — which cannot type-check for x @ W; divergence
     # documented, see SURVEY.md §7 "reference bugs".)
     x = input_sst.to_spatial()
-    n_chunks = max(1, int(np.ceil(implicit_weights.memory_mb() / chunk_size_mb)))
+    n_chunks = max(1, int(np.ceil(implicit_weights.memory_mb() / max(chunk_size_mb, 1e-6))))
     cols = implicit_weights.shape[-1]
     chunk = max(1, cols // n_chunks)
     outs = []

@@ -163,3 +163,59 @@ class TestProductionReady:
         assert c.compress_ratio() > 4
         y = ProductionFrequencyOps.matmul(jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 64)).astype(np.float32)), sst(np.random.default_rng(1).standard_normal((64, 16)).astype(np.float32), sparsity=1.0))
         assert y.shape == (1, 4, 16)
+
+
+class TestSSTOps:
+    def test_spectral_conv_via_hadamard(self):
+        from spectral_tpu.core.ops import spectral_conv
+
+        a = sst(smooth_signal((32, 8), 0), sparsity=1.0)
+        b = sst(smooth_signal((32, 8), 1), sparsity=1.0)
+        c = spectral_conv(a, b)
+        assert c.shape == (32, 8)
+        # circular convolution theorem check at full sparsity
+        want = np.fft.ifftn(np.fft.fftn(np.asarray(a.to_spatial())) * np.fft.fftn(np.asarray(b.to_spatial()))).real
+        np.testing.assert_allclose(np.asarray(c.to_spatial()), want, atol=1e-3)
+
+    def test_spectral_pool(self):
+        from spectral_tpu.core.ops import spectral_pool
+
+        t = sst(smooth_signal((32, 32)), sparsity=0.5)
+        for mode in ("max", "avg"):
+            p = spectral_pool(t, kernel_size=2, mode=mode)
+            assert p.shape == (16, 16)
+        with pytest.raises(ValueError):
+            spectral_pool(t, mode="nope")
+
+    def test_spectral_normalize(self):
+        from spectral_tpu.core.ops import spectral_normalize
+
+        t = sst(smooth_signal((16, 16)), sparsity=0.5)
+        n = spectral_normalize(t)
+        mag_sum = float(jnp.sum(jnp.abs(n.freq_coeffs)))
+        assert abs(mag_sum - 1.0) < 1e-3  # normalized to unit total magnitude
+
+    def test_spectral_activation(self):
+        from spectral_tpu.core.ops import spectral_activation
+
+        t = sst(smooth_signal((16, 16)), sparsity=1.0)
+        for act in ("relu", "gelu", "silu", "tanh"):
+            a = spectral_activation(t, act)
+            assert a.shape == t.shape
+        r = spectral_activation(t, "relu")
+        assert float(jnp.min(r.to_spatial())) >= -0.05  # relu-ish (lossy re-sst)
+
+    def test_implicit_weights_and_matmul(self):
+        from spectral_tpu.core.ops import ImplicitWeights, implicit_matmul
+
+        iw = ImplicitWeights((16, 16), rank=4, sparsity=0.5)
+        assert iw.compression_ratio() == 16 * 16 / (4 * 16 * 16)  # <1 at this toy size
+        w = iw.generate_weights()
+        assert w.shape == (16, 16)
+        x = sst(smooth_signal((8, 16)), sparsity=1.0)
+        y = implicit_matmul(x, iw, streaming=False)
+        assert y.shape == (8, 16)
+        y2 = implicit_matmul(x, iw, streaming=True, chunk_size_mb=0)  # force streaming
+        np.testing.assert_allclose(
+            np.asarray(y.to_spatial()), np.asarray(y2.to_spatial()), atol=0.3
+        )
