@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import argparse
-import os
 
 from spectral_tpu.models.config import TrainConfig
 

@@ -7,8 +7,6 @@ attention, complex semantic embeddings, and frequency-native activations.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

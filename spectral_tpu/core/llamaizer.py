@@ -19,9 +19,7 @@ CLI:  python -m spectral_tpu.core.llamaizer --model <hf-name-or-path> --out <dir
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

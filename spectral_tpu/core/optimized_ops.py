@@ -10,7 +10,7 @@ is the zero_materialize linear-conv FFT.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

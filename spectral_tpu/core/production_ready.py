@@ -8,11 +8,9 @@ assumed.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from spectral_tpu.core.optimized_ops import OptimizedFrequencyOps
 from spectral_tpu.core.tensor import SparseSpectralTensor

@@ -25,8 +25,6 @@ TPU-native wins (outputs identical to the reference, asymptotics not):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

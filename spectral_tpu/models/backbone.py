@@ -36,7 +36,6 @@ from spectral_tpu.ops.fftc import (
     cutoff_mask,
     irfft_time,
     kernel_rfft,
-    next_pow2,
     rfft_time,
 )
 

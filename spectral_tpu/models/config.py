@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Optional
-
 from spectral_tpu.ops.fftc import conv_freq_bins, conv_n_fft
 
 

@@ -31,7 +31,7 @@ from spectral_tpu.ops.fftc import (
     kernel_rfft,
     rfft_time,
 )
-from spectral_tpu.ops.complex_utils import polar as _polar_safe, safe_magnitude_phase
+from spectral_tpu.ops.complex_utils import safe_magnitude_phase
 from spectral_tpu.ops.wirtinger import frequency_conv
 
 _small_normal = nn.initializers.normal(stddev=0.01)
