@@ -23,6 +23,9 @@ class PolarQuantizer:
         self.phase_bits = int(phase_bits)
         self.mag_levels = 2**self.mag_bits
         self.phase_levels = 2**self.phase_bits
+        # codes must hold levels-1 without wrapping: >8 bits needs uint16
+        self._mag_dtype = jnp.uint8 if self.mag_levels <= 256 else jnp.uint16
+        self._phase_dtype = jnp.uint8 if self.phase_levels <= 256 else jnp.uint16
         self.mag_range: Optional[Tuple[float, float]] = None
 
     def quantize(self, z: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -35,11 +38,13 @@ class PolarQuantizer:
             self.mag_range = (float(jnp.min(log_mag)), float(jnp.max(log_mag)))
         mag_min, mag_max = self.mag_range
         mag_norm = (log_mag - mag_min) / (mag_max - mag_min + 1e-9)
-        mag_q = jnp.clip(jnp.round(mag_norm * (self.mag_levels - 1)), 0, self.mag_levels - 1).astype(jnp.uint8)
+        mag_q = jnp.clip(jnp.round(mag_norm * (self.mag_levels - 1)), 0, self.mag_levels - 1).astype(
+            self._mag_dtype
+        )
 
         phase_norm = (phase + np.pi) / (2 * np.pi)
         phase_q = jnp.clip(jnp.round(phase_norm * (self.phase_levels - 1)), 0, self.phase_levels - 1).astype(
-            jnp.uint8
+            self._phase_dtype
         )
         return mag_q, phase_q
 
