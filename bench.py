@@ -34,14 +34,21 @@ def bench_spectral_mix(seq: int = 4096, batch: int = 8, dim: int = 256, iters: i
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, seq, dim), jnp.float32)
     params = layer.init(jax.random.PRNGKey(1), x)
 
-    fwd = jax.jit(lambda p, x: layer.apply(p, x))
+    # Chain iterations: each input is the previous output (scaled to stay
+    # finite).  Independent identical dispatches can be deduplicated by the
+    # runtime (observed on the tunneled TPU backend: 50 same-input calls
+    # reported 22 us/iter — below the 82 us HBM-roofline floor for the
+    # 67 MB of traffic, i.e. not a real execution per call).  A data
+    # dependency between iterations makes every execution unavoidable.
+    fwd = jax.jit(lambda p, x: layer.apply(p, x) * 0.1)
     for _ in range(warmup):
-        jax.block_until_ready(fwd(params, x))
+        x = fwd(params, x)
+    x = jax.block_until_ready(x)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(params, x)
-    jax.block_until_ready(out)
+        x = fwd(params, x)
+    jax.block_until_ready(x)
     dt = (time.perf_counter() - t0) / iters
 
     tokens_per_sec = batch * seq / dt

@@ -69,14 +69,19 @@ def measure_bandwidth(
     ``bytes_moved`` is the IDEAL traffic (inputs read once + outputs written
     once); fraction_of_peak > 1 therefore never happens, and values near 1
     mean the op is at the HBM roofline.
+
+    Each iteration is synced individually: repeated identical dispatches can
+    be deduplicated by some runtimes (observed on the tunneled TPU backend),
+    which silently inflates throughput.  The per-iteration sync adds host
+    round-trip latency, so the result is a LOWER bound on the op's true
+    bandwidth.
     """
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        jax.block_until_ready(fn(*args))
     dt = (time.perf_counter() - t0) / iters
     peak = HBM_PEAK_GBPS[detect_chip()]
     return RooflineResult(
