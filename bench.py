@@ -34,22 +34,47 @@ def bench_spectral_mix(seq: int = 4096, batch: int = 8, dim: int = 256, iters: i
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, seq, dim), jnp.float32)
     params = layer.init(jax.random.PRNGKey(1), x)
 
-    # Chain iterations: each input is the previous output (scaled to stay
-    # finite).  Independent identical dispatches can be deduplicated by the
-    # runtime (observed on the tunneled TPU backend: 50 same-input calls
-    # reported 22 us/iter — below the 82 us HBM-roofline floor for the
-    # 67 MB of traffic, i.e. not a real execution per call).  A data
-    # dependency between iterations makes every execution unavoidable.
-    fwd = jax.jit(lambda p, x: layer.apply(p, x) * 0.1)
-    for _ in range(warmup):
-        x = fwd(params, x)
-    x = jax.block_until_ready(x)
+    # Measurement design for a (possibly tunneled) chip: the whole timing
+    # loop runs INSIDE one jit program as a lax.fori_loop whose carry is
+    # renormalized every iteration, and the reported time is the marginal
+    # cost t(iters) - t(1) per extra iteration.  Rationale (both failure
+    # modes observed on the tunneled v5e):
+    #   * independent same-input dispatches can be served from a
+    #     value-level cache by the relay runtime (reported 22 us/iter —
+    #     under the 82 us HBM floor for the 67 MB of traffic);
+    #   * host-chained dispatches pay a multi-ms tunnel round-trip per
+    #     call, hiding the actual device time.
+    # One dispatch with an on-device data-dependent loop suffers neither;
+    # the renormalization keeps the carry off any fixed point so no
+    # iteration is degenerate.
+    def one(p, x):
+        y = layer.apply(p, x)
+        return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-12)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = fwd(params, x)
-    jax.block_until_ready(x)
-    dt = (time.perf_counter() - t0) / iters
+    def loop(p, x, n):
+        return jax.lax.fori_loop(0, n, lambda i, c: one(p, c), x)
+
+    run = jax.jit(loop, static_argnums=(2,))
+    jax.block_until_ready(run(params, x, 1))  # compile both programs
+    jax.block_until_ready(run(params, x, iters))
+
+    # distinct inputs per repetition — a relay runtime may serve repeated
+    # identical (executable, inputs) calls from cache
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    xs = [jax.random.normal(k, x.shape, x.dtype) for k in keys]
+    for xi in xs:
+        jax.block_until_ready(xi)
+
+    def timed(n, reps=3):
+        best = float("inf")
+        for r in range(reps):
+            xi = xs[(n + r) % len(xs)]
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(params, xi, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = max(timed(iters) - timed(1), 1e-9) / (iters - 1)
 
     tokens_per_sec = batch * seq / dt
     return tokens_per_sec, dt
@@ -60,6 +85,10 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--seq", type=int, default=4096)
     args = ap.parse_args()
+
+    from spectral_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # make JAX_PLATFORMS authoritative (sitecustomize may pre-pin)
 
     iters = 10 if args.quick else 50
     try:
