@@ -52,11 +52,18 @@ def bench_spectral_mix(seq: int = 4096, batch: int = 8, dim: int = 256, iters: i
         return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-12)
 
     def loop(p, x, n):
-        return jax.lax.fori_loop(0, n, lambda i, c: one(p, c), x)
+        out = jax.lax.fori_loop(0, n, lambda i, c: one(p, c), x)
+        return jnp.sum(out)  # scalar — fetched by VALUE to force a true sync
 
     run = jax.jit(loop, static_argnums=(2,))
-    jax.block_until_ready(run(params, x, 1))  # compile both programs
-    jax.block_until_ready(run(params, x, iters))
+
+    # n must be large enough that device time dominates the dispatch round
+    # trip (a tunneled chip has multi-ms RTT with >10 ms jitter, which
+    # swallowed a 50-iteration marginal entirely)
+    n_big = iters * 20
+
+    float(run(params, x, 1))  # compile both programs
+    float(run(params, x, n_big))
 
     # distinct inputs per repetition — a relay runtime may serve repeated
     # identical (executable, inputs) calls from cache
@@ -65,16 +72,16 @@ def bench_spectral_mix(seq: int = 4096, batch: int = 8, dim: int = 256, iters: i
     for xi in xs:
         jax.block_until_ready(xi)
 
-    def timed(n, reps=3):
+    def timed(n, reps=2):
         best = float("inf")
         for r in range(reps):
             xi = xs[(n + r) % len(xs)]
             t0 = time.perf_counter()
-            jax.block_until_ready(run(params, xi, n))
+            float(run(params, xi, n))  # value fetch = unambiguous completion
             best = min(best, time.perf_counter() - t0)
         return best
 
-    dt = max(timed(iters) - timed(1), 1e-9) / (iters - 1)
+    dt = max(timed(n_big) - timed(1), 1e-9) / (n_big - 1)
 
     tokens_per_sec = batch * seq / dt
     return tokens_per_sec, dt
