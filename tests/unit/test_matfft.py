@@ -1,0 +1,93 @@
+"""Parity gates for the MXU matmul FFT (ops/matfft.py) vs jnp.fft."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.ops.matfft import (
+    irfft_matmul,
+    plan_factors,
+    rfft_matmul,
+    spectral_conv_matmul,
+)
+
+
+def _x(seed=0, shape=(3, 1000)):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal(shape).astype(np.float32))
+
+
+class TestPlan:
+    def test_factors_multiply_back(self):
+        for n in (256, 512, 1024, 2048, 4096, 8192, 16384):
+            fs = plan_factors(n)
+            assert int(np.prod(fs)) == n
+            assert all(f <= 256 for f in fs)
+
+    def test_non_pow2_rejected(self):
+        with pytest.raises(ValueError):
+            plan_factors(768)
+
+
+class TestRfftParity:
+    @pytest.mark.parametrize("n", [256, 1024, 2048, 8192])
+    def test_rfft_matches_jnp(self, n):
+        x = _x(1, (2, min(n, 1500)))
+        ref = jnp.fft.rfft(x, n=n, axis=-1)
+        got = rfft_matmul(x, n)
+        assert got.shape == ref.shape
+        err = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+        assert err < 2e-5, (n, err)
+
+    @pytest.mark.parametrize("n", [256, 2048])
+    def test_irfft_roundtrip(self, n):
+        x = _x(2, (2, n))
+        y = irfft_matmul(rfft_matmul(x, n), n)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=1e-4, atol=1e-4)
+
+    def test_irfft_matches_jnp_on_asymmetric_input(self):
+        n = 512
+        rng = np.random.default_rng(3)
+        xf = jnp.asarray(
+            (rng.standard_normal((2, n // 2 + 1)) + 1j * rng.standard_normal((2, n // 2 + 1))).astype(
+                np.complex64
+            )
+        )
+        ref = jnp.fft.irfft(xf, n=n, axis=-1)
+        got = irfft_matmul(xf, n)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+class TestSpectralConv:
+    def test_matches_xla_path(self):
+        n, t = 2048, 1024
+        x = _x(4, (2, 8, t))  # (B, C, T) layout — T minor
+        rng = np.random.default_rng(5)
+        h = jnp.asarray(
+            (rng.standard_normal(n // 2 + 1) + 1j * rng.standard_normal(n // 2 + 1)).astype(np.complex64)
+        )
+        ref = jnp.fft.irfft(jnp.fft.rfft(x, n=n, axis=-1) * h, n=n, axis=-1)[..., :t]
+        got = spectral_conv_matmul(x, h, n)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    def test_gradients_flow(self):
+        n, t = 256, 100
+        x = _x(6, (2, t))
+        h = jnp.ones(n // 2 + 1, jnp.complex64)
+
+        def loss(x):
+            return jnp.sum(spectral_conv_matmul(x, h, n) ** 2)
+
+        g = jax.grad(loss)(x)
+        assert not np.any(np.isnan(np.asarray(g)))
+        # identity filter => conv is identity => grad = 2x
+        np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(x), rtol=1e-3, atol=1e-3)
+
+    def test_jit_and_vmap_compose(self):
+        n, t = 512, 300
+        x = _x(7, (4, t))
+        h = jnp.ones(n // 2 + 1, jnp.complex64)
+        f = jax.jit(lambda x: spectral_conv_matmul(x, h, n))
+        y = f(x)
+        y2 = jax.vmap(lambda r: spectral_conv_matmul(r, h, n))(x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-5, atol=1e-5)
