@@ -93,6 +93,7 @@ class FixedSpectralBlock(nn.Module):
     dropout: float = 0.1
     ffn_mult: int = 2
     use_pallas_kernel: bool = False  # fused FFT->filter->IFFT Pallas path
+    fft_backend: str = "xla"  # "xla" | "matmul" (MXU four-step FFT)
     compute_dtype: str = "float32"  # bf16 for the FFN matmuls (complex stays fp32)
 
     @nn.compact
@@ -143,6 +144,17 @@ class FixedSpectralBlock(nn.Module):
             h_fused = k_freq * g_freq * mask  # [F] complex
             scale = gain[None, :] * g_ctx  # [B, C]
             y = fused_spectral_conv(x, h_fused, scale, n_fft)
+        elif self.fft_backend == "matmul":
+            # MXU path: both transforms as batched DFT matmuls (T-minor
+            # layout), real per-channel scales folded after — identical math
+            # to the XLA branch (gain/g_ctx are real diagonal ops commuting
+            # with the linear irfft).
+            from spectral_tpu.ops.matfft import spectral_conv_matmul
+
+            h_fused = k_freq * g_freq * mask  # [F] complex
+            scale = gain[None, :] * g_ctx  # [B, C]
+            y = spectral_conv_matmul(jnp.swapaxes(x, 1, 2), h_fused, n_fft)
+            y = jnp.swapaxes(y, 1, 2) * scale[:, None, :]
         else:
             x_freq = rfft_time(x, n_fft)  # [B, F, C] complex64
             y_freq = x_freq * k_freq[None, :, None] * gain[None, None, :].astype(jnp.complex64)
@@ -183,6 +195,8 @@ class FixedSpectralLM(nn.Module):
         extra = {}
         if block_cls is FixedSpectralBlock and cfg.use_pallas_kernel:
             extra["use_pallas_kernel"] = True
+        if block_cls is FixedSpectralBlock and cfg.fft_backend != "xla":
+            extra["fft_backend"] = cfg.fft_backend
         if block_cls is FixedSpectralBlock and cfg.compute_dtype != "float32":
             extra["compute_dtype"] = cfg.compute_dtype
         if cfg.remat:

@@ -63,6 +63,10 @@ class TrainConfig:
     compute_dtype: str = "float32"
     # fused Pallas FFT->filter->IFFT kernel for the standard block's conv
     use_pallas_kernel: bool = False
+    # FFT backend for the standard block's conv: "xla" (jnp.fft) or
+    # "matmul" (MXU four-step FFT, ops/matfft.py — XLA's VPU FFT measured
+    # ~5% of HBM roofline on v5e, see BENCHMARKS.md)
+    fft_backend: str = "xla"
     # rematerialize block activations in backward (memory for FLOPs — the
     # long-context lever; jax.checkpoint per block)
     remat: bool = False

@@ -91,3 +91,37 @@ class TestSpectralConv:
         y = f(x)
         y2 = jax.vmap(lambda r: spectral_conv_matmul(r, h, n))(x)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-5, atol=1e-5)
+
+
+class TestBackboneBackend:
+    def test_block_forward_matches_xla_backend(self):
+        import jax
+        from spectral_tpu.models.backbone import FixedSpectralLM
+        from spectral_tpu.models.config import TrainConfig
+
+        cfg_x = TrainConfig.from_dict(dict(d_model=32, n_layers=2, seq_len=64, kernel_len=16, batch_size=2))
+        cfg_m = cfg_x.replace(fft_backend="matmul")
+        mx, mm = FixedSpectralLM(cfg_x), FixedSpectralLM(cfg_m)
+        x = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 64)).astype(np.int32))
+        params = mx.init(jax.random.PRNGKey(0), x)["params"]
+        lx = mx.apply({"params": params}, x, cutoff=20, deterministic=True)
+        lm = mm.apply({"params": params}, x, cutoff=20, deterministic=True)
+        np.testing.assert_allclose(np.asarray(lm), np.asarray(lx), rtol=2e-3, atol=2e-3)
+
+    def test_train_step_runs_with_matmul_backend(self):
+        import jax
+        from spectral_tpu.models.config import TrainConfig
+        from spectral_tpu.train.trainer import init_model, make_optimizer, make_train_step
+
+        cfg = TrainConfig.from_dict(
+            dict(d_model=32, n_layers=1, seq_len=64, kernel_len=16, batch_size=2, fft_backend="matmul")
+        )
+        model, params = init_model(cfg)
+        tx = make_optimizer(cfg)
+        opt = tx.init(params)
+        step = make_train_step(model, cfg, tx)
+        rng = np.random.default_rng(0)
+        bx = jnp.asarray(rng.integers(0, 256, (1, 2, 64)).astype(np.int32))
+        by = jnp.asarray(rng.integers(0, 256, (1, 2, 64)).astype(np.int32))
+        params, opt, loss = step(params, opt, bx, by, jnp.int32(16), jnp.float32(1e-3), jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
