@@ -49,6 +49,10 @@ class SpectralMixingLayer(nn.Module):
     dropout: float = 0.0
     learnable: bool = True
     use_wirtinger: bool = True
+    # "xla" (jnp.fft) or "matmul" (MXU four-step FFT, ops/matfft.py);
+    # matmul requires power-of-two T and runs the whole mix as batched
+    # DFT matmuls in (B, D, T) layout
+    fft_backend: str = "xla"
 
     @property
     def n_filters(self) -> int:
@@ -58,6 +62,9 @@ class SpectralMixingLayer(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         B, T, D = x.shape
         assert D == self.embed_dim, f"Expected embed_dim={self.embed_dim}, got {D}"
+
+        if self.fft_backend == "matmul":
+            return self._matmul_forward(x, deterministic)
 
         x_freq = jnp.fft.fft(x.astype(jnp.float32), axis=1)  # [B, T, D] complex64
 
@@ -87,6 +94,41 @@ class SpectralMixingLayer(nn.Module):
             y = y + bias
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return y
+
+    def _matmul_forward(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        """MXU path: fft -> filter -> ifft as batched DFT matmuls.
+
+        Same math as the XLA branch (the Wirtinger custom vjp computes the
+        identical gradients autodiff derives for these real einsums, so it
+        is not needed here).  Works in (B, D, T) layout so the transform
+        contracts the minor axis.
+        """
+        from spectral_tpu.ops import matfft
+
+        B, T, D = x.shape
+        xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2)  # (B, D, T)
+        fr, fi = matfft.fft_ri(xt, None, T)
+
+        if self.learnable:
+            nf = self.n_filters
+            w_real = self.param("weight_real", nn.initializers.ones, (D, nf))
+            w_imag = self.param("weight_imag", nn.initializers.zeros, (D, nf))
+            bias = self.param("bias", nn.initializers.zeros, (D,))
+            k = min(nf, T // 2)
+            wr = jnp.pad(w_real[:, :k], ((0, 0), (0, T - k)))[None]  # (1, D, T)
+            wi = jnp.pad(w_imag[:, :k], ((0, 0), (0, T - k)))[None]
+            pr = fr * wr - fi * wi
+            pi = fr * wi + fi * wr
+        else:
+            pr, pi = fr, fi
+
+        # real(ifft(P)) = real(fft(conj(P))) / T
+        yr, _ = matfft.fft_ri(pr, -pi, T)
+        y = jnp.swapaxes(yr / T, 1, 2).astype(x.dtype)
+
+        if self.learnable:
+            y = y + bias
+        return nn.Dropout(self.dropout)(y, deterministic=deterministic)
 
     @staticmethod
     def verify_energy_preservation(x: jax.Array, y: jax.Array) -> float:

@@ -125,3 +125,38 @@ class TestBackboneBackend:
         by = jnp.asarray(rng.integers(0, 256, (1, 2, 64)).astype(np.int32))
         params, opt, loss = step(params, opt, bx, by, jnp.int32(16), jnp.float32(1e-3), jax.random.PRNGKey(0))
         assert np.isfinite(float(loss))
+
+
+class TestMixingLayerBackend:
+    def test_mixing_layer_backends_match(self):
+        import jax
+        from spectral_tpu.layers.spectral_layers import SpectralMixingLayer
+
+        T, D = 256, 32
+        lx = SpectralMixingLayer(embed_dim=D)
+        lm = SpectralMixingLayer(embed_dim=D, fft_backend="matmul")
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((2, T, D)).astype(np.float32))
+        params = lx.init(jax.random.PRNGKey(0), x)
+        # perturb the filter so the test isn't identity-weighted
+        params = jax.tree.map(lambda a: a + 0.01 * np.random.default_rng(1).standard_normal(a.shape).astype(a.dtype), params)
+        yx = lx.apply(params, x)
+        ym = lm.apply(params, x)
+        np.testing.assert_allclose(np.asarray(ym), np.asarray(yx), rtol=2e-4, atol=2e-4)
+
+    def test_mixing_layer_backend_grads_match(self):
+        import jax
+        from spectral_tpu.layers.spectral_layers import SpectralMixingLayer
+
+        T, D = 128, 16
+        lx = SpectralMixingLayer(embed_dim=D)
+        lm = SpectralMixingLayer(embed_dim=D, fft_backend="matmul")
+        x = jnp.asarray(np.random.default_rng(2).standard_normal((2, T, D)).astype(np.float32))
+        params = lx.init(jax.random.PRNGKey(0), x)
+
+        gx = jax.grad(lambda p: jnp.sum(lx.apply(p, x) ** 2))(params)
+        gm = jax.grad(lambda p: jnp.sum(lm.apply(p, x) ** 2))(params)
+        for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(gx)[0], key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_flatten_with_path(gm)[0], key=lambda t: str(t[0])),
+        ):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3, err_msg=str(ka))
