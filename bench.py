@@ -24,13 +24,20 @@ import numpy as np
 BASELINE_TOK_S = 8 * 2048 / 2.16e-3  # reference GTX 1660 Super, BENCHMARKS.md:17
 
 
-def bench_spectral_mix(seq: int = 4096, batch: int = 8, dim: int = 256, iters: int = 50, warmup: int = 5):
+def bench_spectral_mix(
+    seq: int = 4096,
+    batch: int = 8,
+    dim: int = 256,
+    iters: int = 50,
+    warmup: int = 5,
+    backend: str = "xla",
+):
     import jax
     import jax.numpy as jnp
 
     from spectral_tpu.layers.spectral_layers import SpectralMixingLayer
 
-    layer = SpectralMixingLayer(embed_dim=dim)
+    layer = SpectralMixingLayer(embed_dim=dim, fft_backend=backend)
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, seq, dim), jnp.float32)
     params = layer.init(jax.random.PRNGKey(1), x)
 
@@ -91,6 +98,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--seq", type=int, default=4096)
+    ap.add_argument("--backend", default="xla", choices=["xla", "matmul"])
     args = ap.parse_args()
 
     from spectral_tpu.utils.platform import apply_platform_env
@@ -99,7 +107,7 @@ def main() -> None:
 
     iters = 10 if args.quick else 50
     try:
-        tok_s, dt = bench_spectral_mix(seq=args.seq, iters=iters)
+        tok_s, dt = bench_spectral_mix(seq=args.seq, iters=iters, backend=args.backend)
         # roofline accounting (BASELINE.json: "fused rFFT GB/s vs HBM roofline"):
         # ideal traffic = fp32 input read + output write of (8, seq, 256)
         from spectral_tpu.utils.profiling import HBM_PEAK_GBPS, detect_chip
