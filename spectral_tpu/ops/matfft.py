@@ -142,8 +142,83 @@ def fft_ri(xr: jax.Array, xi: jax.Array | None, n: int) -> tuple[jax.Array, jax.
 
 def rfft_matmul(x: jax.Array, n: int) -> jax.Array:
     """jnp.fft.rfft(x, n, axis=-1) equivalent; returns complex64 (n//2+1 bins)."""
-    r, i = fft_ri(x, None, n)
-    return jax.lax.complex(r[..., : n // 2 + 1], i[..., : n // 2 + 1])
+    r, i = rfft_ri(x, n)
+    return jax.lax.complex(r, i)
+
+
+@functools.lru_cache(maxsize=64)
+def _half_twiddle(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) of W_n^k = exp(-2i pi k / n), k = 0..n/2-1."""
+    ang = -2.0 * np.pi * np.arange(n // 2, dtype=np.float64) / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _rev_half(a):
+    """a[(m - k) mod m] along the last axis (m = a.shape[-1])."""
+    return jnp.concatenate([a[..., :1], a[..., 1:][..., ::-1]], axis=-1)
+
+
+def rfft_ri(x: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+    """Real-input FFT via the packed half-length trick: one complex
+    FFT of size n/2 instead of size n (classic even/odd packing) —
+    halves both matmul FLOPs and passes vs the naive real-as-complex
+    transform.  Returns (re, im) of the n//2+1 rfft bins."""
+    if x.shape[-1] < n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    m = n // 2
+    zr, zi = x[..., 0::2], x[..., 1::2]  # z = even + i*odd
+    fr, fi = _fft_ri(zr, zi, plan_factors(m))
+
+    # E = (Z + conj(Z_rev))/2 (FFT of even part); O = (Z - conj(Z_rev))/(2i)
+    rr, ri_ = _rev_half(fr), _rev_half(fi)
+    er = 0.5 * (fr + rr)
+    ei = 0.5 * (fi - ri_)
+    our = 0.5 * (fi + ri_)  # O = ((fr - rr) + i(fi + ri)) / (2i) => re = (fi+ri)/2
+    oui = -0.5 * (fr - rr)  # im = -(fr-rr)/2
+
+    tr, ti = (jnp.asarray(t) for t in _half_twiddle(n))
+    # X[k] = E[k] + W^k O[k], k < n/2
+    xr = er + our * tr - oui * ti
+    xi = ei + our * ti + oui * tr
+    # X[n/2] = E[0] - O[0]
+    last_r = (er[..., :1] - our[..., :1])
+    last_i = (ei[..., :1] - oui[..., :1])
+    return (
+        jnp.concatenate([xr, last_r], axis=-1),
+        jnp.concatenate([xi, last_i], axis=-1),
+    )
+
+
+def irfft_ri(hr: jax.Array, hi: jax.Array, n: int) -> jax.Array:
+    """Inverse of rfft_ri: (re, im) of n//2+1 bins -> real signal length n,
+    via one complex IFFT of size n/2 (packed trick, run backwards)."""
+    m = n // 2
+    # jnp.fft.irfft convention: Im(X[0]) and Im(X[n/2]) only ever feed the
+    # discarded imaginary output — zero them so arbitrary (non-Hermitian-
+    # consistent) inputs match jnp bit-for-bit (branchless, no scatter)
+    k = jnp.arange(m + 1)
+    hi = hi * ((k != 0) & (k != m)).astype(hi.dtype)
+    # k = 0..m-1; the reversed index n/2-k hits bin m..1 of the half spectrum
+    ar, ai = hr[..., :m], hi[..., :m]
+    br = hr[..., 1:][..., ::-1]  # X[n/2 - k], k=0 -> X[m]
+    bi = hi[..., 1:][..., ::-1]
+    er = 0.5 * (ar + br)
+    ei = 0.5 * (ai - bi)
+    dr = 0.5 * (ar - br)  # D = (X[k] - conj(X[m-k]))/2;  O = W^{-k} D
+    di = 0.5 * (ai + bi)
+    tr, ti = (jnp.asarray(t) for t in _half_twiddle(n))  # W^{+k}: (tr, ti)
+    # W^{-k} = conj(W^k) = (tr, -ti)
+    our = dr * tr + di * ti
+    oui = di * tr - dr * ti
+    # Z = E + i O
+    zr = er - oui
+    zi = ei + our
+    # z = IFFT_m(Z) = conj(FFT_m(conj(Z))) / m
+    wr, wi = _fft_ri(zr, -zi, plan_factors(m))
+    even = wr / m
+    odd = -wi / m
+    return jnp.stack([even, odd], axis=-1).reshape(*even.shape[:-1], n)
 
 
 def _full_from_half_ri(hr, hi, n):
@@ -157,34 +232,23 @@ def _full_from_half_ri(hr, hi, n):
 
 
 def irfft_matmul(xf: jax.Array, n: int) -> jax.Array:
-    """jnp.fft.irfft(xf, n, axis=-1) equivalent for xf with n//2+1 bins.
-
-    ifft(X) = conj(fft(conj(X)))/n; for a conjugate-symmetric X the result
-    is real, so only the real part of the forward transform is needed.
-    """
-    fr, fi = _full_from_half_ri(jnp.real(xf), jnp.imag(xf), n)
-    # conj input -> fft -> real part (imag cancels for symmetric spectra)
-    yr, _ = _fft_ri(fr, -fi, plan_factors(n))
-    return yr / n
+    """jnp.fft.irfft(xf, n, axis=-1) equivalent for xf with n//2+1 bins."""
+    return irfft_ri(jnp.real(xf), jnp.imag(xf), n)
 
 
 def spectral_conv_matmul(x: jax.Array, h_half: jax.Array, n: int) -> jax.Array:
     """irfft(rfft(x, n) * h, n)[..., :T] with both transforms on the MXU.
 
     ``x``: (..., T) real; ``h_half``: broadcastable to the (..., n//2+1)
-    spectrum (complex).  The filter multiply happens in the half-spectrum
-    (the conjugate-symmetric tail is derived after), so the parameter count
-    matches the rfft formulation exactly.
+    spectrum (complex).  Both directions use the packed half-length real
+    transform (one complex FFT of n/2 each way).
     """
     t = x.shape[-1]
-    xr, xi = fft_ri(x, None, n)
-    half = n // 2 + 1
+    xr, xi = rfft_ri(x, n)
     hr_, hi_ = jnp.real(h_half), jnp.imag(h_half)
-    pr = xr[..., :half] * hr_ - xi[..., :half] * hi_
-    pi = xr[..., :half] * hi_ + xi[..., :half] * hr_
-    fr, fi = _full_from_half_ri(pr, pi, n)
-    yr, _ = _fft_ri(fr, -fi, plan_factors(n))
-    return yr[..., :t] / n
+    pr = xr * hr_ - xi * hi_
+    pi = xr * hi_ + xi * hr_
+    return irfft_ri(pr, pi, n)[..., :t]
 
 
 def _self_test() -> None:
