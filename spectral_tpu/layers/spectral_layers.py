@@ -102,12 +102,19 @@ class SpectralMixingLayer(nn.Module):
         identical gradients autodiff derives for these real einsums, so it
         is not needed here).  Works in (B, D, T) layout so the transform
         contracts the minor axis.
+
+        Real-input reduction: x is real, so its spectrum is Hermitian, and
+        the filter only touches bins k < T/2.  real(ifft(X*W)) therefore
+        equals irfft(Yeff) with Yeff[0] = X0*W0 and Yeff[k>=1] = X[k]W[k]/2
+        (the irfft convention doubles the middle bins) — the whole layer is
+        two packed half-length (T/2) transforms instead of two full complex
+        T-transforms.
         """
         from spectral_tpu.ops import matfft
 
         B, T, D = x.shape
         xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2)  # (B, D, T)
-        fr, fi = matfft.fft_ri(xt, None, T)
+        fr, fi = matfft.rfft_ri(xt, T)  # (B, D, T//2+1)
 
         if self.learnable:
             nf = self.n_filters
@@ -115,19 +122,21 @@ class SpectralMixingLayer(nn.Module):
             w_imag = self.param("weight_imag", nn.initializers.zeros, (D, nf))
             bias = self.param("bias", nn.initializers.zeros, (D,))
             k = min(nf, T // 2)
-            wr = jnp.pad(w_real[:, :k], ((0, 0), (0, T - k)))[None]  # (1, D, T)
-            wi = jnp.pad(w_imag[:, :k], ((0, 0), (0, T - k)))[None]
+            half = jnp.concatenate(
+                [jnp.ones((1,), jnp.float32), jnp.full((k - 1,), 0.5, jnp.float32)]
+            )
+            wr = jnp.pad(w_real[:, :k] * half, ((0, 0), (0, T // 2 + 1 - k)))[None]
+            wi = jnp.pad(w_imag[:, :k] * half, ((0, 0), (0, T // 2 + 1 - k)))[None]
             pr = fr * wr - fi * wi
             pi = fr * wi + fi * wr
-        else:
+        else:  # pure FFT mixing: ifft(fft(x)) == x
             pr, pi = fr, fi
+            # identity via irfft of the unscaled Hermitian spectrum
+            y = jnp.swapaxes(matfft.irfft_ri(pr, pi, T), 1, 2).astype(x.dtype)
+            return nn.Dropout(self.dropout)(y, deterministic=deterministic)
 
-        # real(ifft(P)) = real(fft(conj(P))) / T
-        yr, _ = matfft.fft_ri(pr, -pi, T)
-        y = jnp.swapaxes(yr / T, 1, 2).astype(x.dtype)
-
-        if self.learnable:
-            y = y + bias
+        y = jnp.swapaxes(matfft.irfft_ri(pr, pi, T), 1, 2).astype(x.dtype)
+        y = y + bias
         return nn.Dropout(self.dropout)(y, deterministic=deterministic)
 
     @staticmethod
