@@ -39,34 +39,39 @@ def main() -> None:
     B, T, C = args.batch, args.seq, args.dim
     NF = next_pow2(2 * T)
     rng = np.random.default_rng(1)
-    h = jnp.asarray(
-        (rng.standard_normal(NF // 2 + 1) + 1j * rng.standard_normal(NF // 2 + 1)).astype(np.complex64)
+    # build the complex filter ON DEVICE from two real transfers — complex
+    # host<->device transfers are UNIMPLEMENTED on the tunneled TPU backend
+    h = jax.lax.complex(
+        jnp.asarray(rng.standard_normal(NF // 2 + 1).astype(np.float32)),
+        jnp.asarray(rng.standard_normal(NF // 2 + 1).astype(np.float32)),
     )
 
-    def xla_conv(x):  # (B, C, T), T minor
-        y = jnp.fft.irfft(jnp.fft.rfft(x, n=NF, axis=-1) * h, n=NF, axis=-1)[..., :T]
+    def xla_conv(x, hh):  # (B, C, T), T minor
+        y = jnp.fft.irfft(jnp.fft.rfft(x, n=NF, axis=-1) * hh, n=NF, axis=-1)[..., :T]
         return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-12)
 
-    def mat_conv(x):
-        y = matfft.spectral_conv_matmul(x, h, NF)
+    def mat_conv(x, hh):
+        y = matfft.spectral_conv_matmul(x, hh, NF)
         return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-12)
 
     x0 = jax.random.normal(jax.random.PRNGKey(0), (B, C, T), jnp.float32)
     xs = [jax.random.normal(k, x0.shape, x0.dtype) for k in jax.random.split(jax.random.PRNGKey(9), 4)]
 
     def marginal_ms(f, n):
-        def loop(x, k):
-            return jnp.sum(jax.lax.fori_loop(0, k, lambda i, c: f(c), x))
+        # h rides as an ARGUMENT: a device-resident complex closure constant
+        # would be value-fetched at trace time (broken transfer, see above)
+        def loop(x, hh, k):
+            return jnp.sum(jax.lax.fori_loop(0, k, lambda i, c: f(c, hh), x))
 
-        g = jax.jit(loop, static_argnums=(1,))
-        float(g(x0, 1))
-        float(g(x0, n))
+        g = jax.jit(loop, static_argnums=(2,))
+        float(g(x0, h, 1))
+        float(g(x0, h, n))
 
         def timed(k, reps=2):
             best = float("inf")
             for r in range(reps):
                 t0 = time.perf_counter()
-                float(g(xs[(k + r) % len(xs)], k))
+                float(g(xs[(k + r) % len(xs)], h, k))
                 best = min(best, time.perf_counter() - t0)
             return best
 
