@@ -98,16 +98,24 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--seq", type=int, default=4096)
-    ap.add_argument("--backend", default="xla", choices=["xla", "matmul"])
+    ap.add_argument("--backend", default=None, choices=["xla", "matmul"])
     args = ap.parse_args()
 
     from spectral_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()  # make JAX_PLATFORMS authoritative (sitecustomize may pre-pin)
 
+    backend = args.backend
+    if backend is None:
+        # MXU matmul FFT measured 1.7x XLA's VPU FFT on TPU (BENCHMARKS.md);
+        # on CPU/GPU the native FFT wins.
+        import jax
+
+        backend = "matmul" if jax.default_backend() == "tpu" else "xla"
+
     iters = 10 if args.quick else 50
     try:
-        tok_s, dt = bench_spectral_mix(seq=args.seq, iters=iters, backend=args.backend)
+        tok_s, dt = bench_spectral_mix(seq=args.seq, iters=iters, backend=backend)
         # roofline accounting (BASELINE.json: "fused rFFT GB/s vs HBM roofline"):
         # ideal traffic = fp32 input read + output write of (8, seq, 256)
         from spectral_tpu.utils.profiling import HBM_PEAK_GBPS, detect_chip
