@@ -94,6 +94,7 @@ class FixedSpectralBlock(nn.Module):
     ffn_mult: int = 2
     use_pallas_kernel: bool = False  # fused FFT->filter->IFFT Pallas path
     fft_backend: str = "xla"  # "xla" | "matmul" (MXU four-step FFT)
+    fft_precision: str = "highest"  # matmul-FFT stage precision
     compute_dtype: str = "float32"  # bf16 for the FFN matmuls (complex stays fp32)
 
     @nn.compact
@@ -153,7 +154,12 @@ class FixedSpectralBlock(nn.Module):
 
             h_fused = k_freq * g_freq * mask  # [F] complex
             scale = gain[None, :] * g_ctx  # [B, C]
-            y = spectral_conv_matmul(jnp.swapaxes(x, 1, 2), h_fused, n_fft)
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if self.fft_precision == "highest"
+                else jax.lax.Precision.DEFAULT
+            )
+            y = spectral_conv_matmul(jnp.swapaxes(x, 1, 2), h_fused, n_fft, precision=prec)
             y = jnp.swapaxes(y, 1, 2) * scale[:, None, :]
         else:
             x_freq = rfft_time(x, n_fft)  # [B, F, C] complex64
@@ -197,6 +203,7 @@ class FixedSpectralLM(nn.Module):
             extra["use_pallas_kernel"] = True
         if block_cls is FixedSpectralBlock and cfg.fft_backend != "xla":
             extra["fft_backend"] = cfg.fft_backend
+            extra["fft_precision"] = cfg.fft_precision
         if block_cls is FixedSpectralBlock and cfg.compute_dtype != "float32":
             extra["compute_dtype"] = cfg.compute_dtype
         if cfg.remat:

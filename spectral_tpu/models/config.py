@@ -67,6 +67,9 @@ class TrainConfig:
     # "matmul" (MXU four-step FFT, ops/matfft.py — XLA's VPU FFT measured
     # ~5% of HBM roofline on v5e, see BENCHMARKS.md)
     fft_backend: str = "xla"
+    # matmul-FFT stage precision: "highest" (fp32-accurate, 3-pass bf16) or
+    # "default" (bf16 inputs, ~1.5x faster, ~2e-3 relative transform error)
+    fft_precision: str = "highest"
     # rematerialize block activations in backward (memory for FLOPs — the
     # long-context lever; jax.checkpoint per block)
     remat: bool = False

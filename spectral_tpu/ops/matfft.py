@@ -82,20 +82,20 @@ def set_precision(p) -> None:
     _PRECISION = p
 
 
-def _stage_matmul(ar, ai, fr, fi):
+def _stage_matmul(ar, ai, fr, fi, precision=None):
     """Complex contraction over the second-to-last axis: (..., n, m) @ (n, k)."""
     mm = functools.partial(
         jnp.einsum,
         "...nm,nk->...km",
         preferred_element_type=jnp.float32,
-        precision=_PRECISION,
+        precision=_PRECISION if precision is None else precision,
     )
     if ai is None:  # purely real input (first rfft stage): half the matmuls
         return mm(ar, fr), mm(ar, fi)
     return mm(ar, fr) - mm(ai, fi), mm(ar, fi) + mm(ai, fr)
 
 
-def _fft_ri(xr, xi, factors):
+def _fft_ri(xr, xi, factors, precision=None):
     """Complex FFT along the last axis via matmul stages. xi=None means 0."""
     n = xr.shape[-1]
     if len(factors) == 1:
@@ -105,7 +105,7 @@ def _fft_ri(xr, xi, factors):
             jnp.einsum,
             "...n,nk->...k",
             preferred_element_type=jnp.float32,
-            precision=_PRECISION,
+            precision=_PRECISION if precision is None else precision,
         )
         if xi is None:
             return mm(xr, fr), mm(xr, fi)
@@ -117,13 +117,13 @@ def _fft_ri(xr, xi, factors):
     ai = None if xi is None else xi.reshape(*xi.shape[:-1], n1, n2)
 
     fr, fi = (jnp.asarray(m) for m in _dft_mat(n1))
-    br, bi = _stage_matmul(ar, ai, fr, fi)  # (..., k1, n2)
+    br, bi = _stage_matmul(ar, ai, fr, fi, precision)  # (..., k1, n2)
 
     tr, ti = (jnp.asarray(m) for m in _twiddle(n1, n2))
     cr = br * tr - bi * ti
     ci = br * ti + bi * tr
 
-    dr, di = _fft_ri(cr, ci, rest)  # transform over n2 (last axis)
+    dr, di = _fft_ri(cr, ci, rest, precision)  # transform over n2 (last axis)
 
     # X[k1 + n1*k2] = D[k1, k2]  ->  axes (..., k1, k2) -> (..., k2, k1) -> flat
     xr_out = jnp.swapaxes(dr, -2, -1).reshape(*dr.shape[:-2], n)
@@ -131,13 +131,15 @@ def _fft_ri(xr, xi, factors):
     return xr_out, xi_out
 
 
-def fft_ri(xr: jax.Array, xi: jax.Array | None, n: int) -> tuple[jax.Array, jax.Array]:
+def fft_ri(
+    xr: jax.Array, xi: jax.Array | None, n: int, precision=None
+) -> tuple[jax.Array, jax.Array]:
     """Complex FFT (re, im) along the last axis, zero-padding to n."""
     if xr.shape[-1] < n:
         pad = [(0, 0)] * (xr.ndim - 1) + [(0, n - xr.shape[-1])]
         xr = jnp.pad(xr, pad)
         xi = None if xi is None else jnp.pad(xi, pad)
-    return _fft_ri(xr, xi, plan_factors(n))
+    return _fft_ri(xr, xi, plan_factors(n), precision)
 
 
 def rfft_matmul(x: jax.Array, n: int) -> jax.Array:
@@ -158,7 +160,7 @@ def _rev_half(a):
     return jnp.concatenate([a[..., :1], a[..., 1:][..., ::-1]], axis=-1)
 
 
-def rfft_ri(x: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+def rfft_ri(x: jax.Array, n: int, precision=None) -> tuple[jax.Array, jax.Array]:
     """Real-input FFT via the packed half-length trick: one complex
     FFT of size n/2 instead of size n (classic even/odd packing) —
     halves both matmul FLOPs and passes vs the naive real-as-complex
@@ -168,7 +170,7 @@ def rfft_ri(x: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
         x = jnp.pad(x, pad)
     m = n // 2
     zr, zi = x[..., 0::2], x[..., 1::2]  # z = even + i*odd
-    fr, fi = _fft_ri(zr, zi, plan_factors(m))
+    fr, fi = _fft_ri(zr, zi, plan_factors(m), precision)
 
     # E = (Z + conj(Z_rev))/2 (FFT of even part); O = (Z - conj(Z_rev))/(2i)
     rr, ri_ = _rev_half(fr), _rev_half(fi)
@@ -190,7 +192,7 @@ def rfft_ri(x: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     )
 
 
-def irfft_ri(hr: jax.Array, hi: jax.Array, n: int) -> jax.Array:
+def irfft_ri(hr: jax.Array, hi: jax.Array, n: int, precision=None) -> jax.Array:
     """Inverse of rfft_ri: (re, im) of n//2+1 bins -> real signal length n,
     via one complex IFFT of size n/2 (packed trick, run backwards)."""
     m = n // 2
@@ -215,7 +217,7 @@ def irfft_ri(hr: jax.Array, hi: jax.Array, n: int) -> jax.Array:
     zr = er - oui
     zi = ei + our
     # z = IFFT_m(Z) = conj(FFT_m(conj(Z))) / m
-    wr, wi = _fft_ri(zr, -zi, plan_factors(m))
+    wr, wi = _fft_ri(zr, -zi, plan_factors(m), precision)
     even = wr / m
     odd = -wi / m
     return jnp.stack([even, odd], axis=-1).reshape(*even.shape[:-1], n)
@@ -236,7 +238,7 @@ def irfft_matmul(xf: jax.Array, n: int) -> jax.Array:
     return irfft_ri(jnp.real(xf), jnp.imag(xf), n)
 
 
-def spectral_conv_matmul(x: jax.Array, h_half: jax.Array, n: int) -> jax.Array:
+def spectral_conv_matmul(x: jax.Array, h_half: jax.Array, n: int, precision=None) -> jax.Array:
     """irfft(rfft(x, n) * h, n)[..., :T] with both transforms on the MXU.
 
     ``x``: (..., T) real; ``h_half``: broadcastable to the (..., n//2+1)
@@ -244,11 +246,11 @@ def spectral_conv_matmul(x: jax.Array, h_half: jax.Array, n: int) -> jax.Array:
     transform (one complex FFT of n/2 each way).
     """
     t = x.shape[-1]
-    xr, xi = rfft_ri(x, n)
+    xr, xi = rfft_ri(x, n, precision)
     hr_, hi_ = jnp.real(h_half), jnp.imag(h_half)
     pr = xr * hr_ - xi * hi_
     pi = xr * hi_ + xi * hr_
-    return irfft_ri(pr, pi, n)[..., :t]
+    return irfft_ri(pr, pi, n, precision)[..., :t]
 
 
 def _self_test() -> None:
