@@ -98,7 +98,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--seq", type=int, default=4096)
-    ap.add_argument("--backend", default=None, choices=["xla", "matmul"])
+    ap.add_argument("--backend", default=None, choices=["xla", "matmul", "pallas"])
     args = ap.parse_args()
 
     from spectral_tpu.utils.platform import apply_platform_env

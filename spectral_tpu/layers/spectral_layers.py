@@ -49,9 +49,9 @@ class SpectralMixingLayer(nn.Module):
     dropout: float = 0.0
     learnable: bool = True
     use_wirtinger: bool = True
-    # "xla" (jnp.fft) or "matmul" (MXU four-step FFT, ops/matfft.py);
-    # matmul requires power-of-two T and runs the whole mix as batched
-    # DFT matmuls in (B, D, T) layout
+    # "xla" (jnp.fft), "matmul" (MXU four-step FFT, ops/matfft.py), or
+    # "pallas" (single VMEM-resident fused kernel, ops/pallas_spectral.py);
+    # matmul/pallas require power-of-two T
     fft_backend: str = "xla"
 
     @property
@@ -65,6 +65,8 @@ class SpectralMixingLayer(nn.Module):
 
         if self.fft_backend == "matmul":
             return self._matmul_forward(x, deterministic)
+        if self.fft_backend == "pallas":
+            return self._pallas_forward(x, deterministic)
 
         x_freq = jnp.fft.fft(x.astype(jnp.float32), axis=1)  # [B, T, D] complex64
 
@@ -137,6 +139,34 @@ class SpectralMixingLayer(nn.Module):
 
         y = jnp.swapaxes(matfft.irfft_ri(pr, pi, T), 1, 2).astype(x.dtype)
         y = y + bias
+        return nn.Dropout(self.dropout)(y, deterministic=deterministic)
+
+    def _pallas_forward(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        """Fully fused path: FFT -> per-channel filter -> IFFT in ONE
+        VMEM-resident Pallas pass (ops/pallas_spectral.py).
+
+        Uses the same real-input reduction as ``_matmul_forward``: the layer
+        equals a spectral conv with the half-scaled effective filter
+        heff[0] = W[:, 0], heff[k>=1] = W[:, k]/2 over the rfft bins, n_fft=T.
+        """
+        from spectral_tpu.ops.pallas_spectral import fused_spectral_conv
+
+        B, T, D = x.shape
+        if not self.learnable:
+            return nn.Dropout(self.dropout)(x, deterministic=deterministic)  # ifft(fft(x)) == x
+
+        nf = self.n_filters
+        w_real = self.param("weight_real", nn.initializers.ones, (D, nf))
+        w_imag = self.param("weight_imag", nn.initializers.zeros, (D, nf))
+        bias = self.param("bias", nn.initializers.zeros, (D,))
+        k = min(nf, T // 2)
+        half = jnp.concatenate([jnp.ones((1,), jnp.float32), jnp.full((k - 1,), 0.5, jnp.float32)])
+        hr = jnp.pad(w_real[:, :k] * half, ((0, 0), (0, T // 2 + 1 - k))).T  # (F, D)
+        hi = jnp.pad(w_imag[:, :k] * half, ((0, 0), (0, T // 2 + 1 - k))).T
+        heff = jax.lax.complex(hr, hi)
+
+        y = fused_spectral_conv(x.astype(jnp.float32), heff, jnp.ones((B, D), jnp.float32), T)
+        y = y.astype(x.dtype) + bias
         return nn.Dropout(self.dropout)(y, deterministic=deterministic)
 
     @staticmethod

@@ -91,10 +91,10 @@ def _stockham_fft(re, im, inverse: bool):
 
 
 def full_filter_from_rfft(h_rfft: jax.Array, n_fft: int) -> jax.Array:
-    """Extend an rFFT-domain filter [F=n_fft//2+1] to the full conjugate-
-    symmetric spectrum [n_fft] (real effective kernel)."""
+    """Extend an rFFT-domain filter [F=n_fft//2+1] (optionally per-channel
+    [F, C]) to the full conjugate-symmetric spectrum [n_fft(, C)]."""
     tail = jnp.conj(h_rfft[1:-1][::-1])
-    return jnp.concatenate([h_rfft, tail])
+    return jnp.concatenate([h_rfft, tail], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -191,7 +191,8 @@ def fused_spectral_conv_reference(x: jax.Array, h_rfft: jax.Array, scale: jax.Ar
     B, T, C = x.shape
     x_pad = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, n_fft - T), (0, 0)))
     xf = jnp.fft.rfft(x_pad, axis=1)
-    yf = xf * h_rfft[None, :, None]
+    h_b = h_rfft[None, :, None] if h_rfft.ndim == 1 else h_rfft[None, :, :]
+    yf = xf * h_b
     y = jnp.fft.irfft(yf, n=n_fft, axis=1)[:, :T, :]
     return y * scale[:, None, :]
 
@@ -232,19 +233,25 @@ def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret):
     cb = min(c_block, C)
     while C % cb:
         cb //= 2
+    if h_full.ndim == 1:  # shared filter: one (n_fft, 1) column, broadcast in-kernel
+        h_re, h_im = jnp.real(h_full)[:, None], jnp.imag(h_full)[:, None]
+        h_spec = pl.BlockSpec((n_fft, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM)
+    else:  # per-channel filter [n_fft, C]: tile the channel block with the data
+        h_re, h_im = jnp.real(h_full), jnp.imag(h_full)
+        h_spec = pl.BlockSpec((n_fft, cb), lambda b, c: (0, c), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(B, C // cb),
         in_specs=[
             pl.BlockSpec((1, n_fft, cb), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
+            h_spec,
+            h_spec,
             pl.BlockSpec((1, 1, cb), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, T, cb), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.float32),
         interpret=interpret,
-    )(x_pad, jnp.real(h_full)[:, None], jnp.imag(h_full)[:, None], scale.astype(jnp.float32)[:, None, :])
+    )(x_pad, h_re, h_im, scale.astype(jnp.float32)[:, None, :])
 
 
 def _fsc_fwd(x, h_rfft, scale, n_fft, c_block, interpret):

@@ -160,3 +160,38 @@ class TestMixingLayerBackend:
             sorted(jax.tree_util.tree_flatten_with_path(gm)[0], key=lambda t: str(t[0])),
         ):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3, err_msg=str(ka))
+
+
+class TestMixingLayerPallasBackend:
+    def test_pallas_backend_matches_xla(self):
+        import jax
+        from spectral_tpu.layers.spectral_layers import SpectralMixingLayer
+
+        T, D = 256, 128  # pow2 T; D >= one channel block
+        lx = SpectralMixingLayer(embed_dim=D)
+        lp = SpectralMixingLayer(embed_dim=D, fft_backend="pallas")
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((2, T, D)).astype(np.float32))
+        params = lx.init(jax.random.PRNGKey(0), x)
+        params = jax.tree.map(
+            lambda a: a + 0.01 * np.random.default_rng(1).standard_normal(a.shape).astype(a.dtype), params
+        )
+        yx = lx.apply(params, x)
+        yp = lp.apply(params, x)
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yx), rtol=2e-4, atol=2e-4)
+
+    def test_pallas_backend_grads_match(self):
+        import jax
+        from spectral_tpu.layers.spectral_layers import SpectralMixingLayer
+
+        T, D = 128, 128
+        lx = SpectralMixingLayer(embed_dim=D)
+        lp = SpectralMixingLayer(embed_dim=D, fft_backend="pallas")
+        x = jnp.asarray(np.random.default_rng(2).standard_normal((2, T, D)).astype(np.float32))
+        params = lx.init(jax.random.PRNGKey(0), x)
+        gx = jax.grad(lambda p: jnp.sum(lx.apply(p, x) ** 2))(params)
+        gp = jax.grad(lambda p: jnp.sum(lp.apply(p, x) ** 2))(params)
+        for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(gx)[0], key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_flatten_with_path(gp)[0], key=lambda t: str(t[0])),
+        ):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3, err_msg=str(ka))
