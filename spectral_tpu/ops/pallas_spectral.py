@@ -98,6 +98,132 @@ def full_filter_from_rfft(h_rfft: jax.Array, n_fft: int) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# In-kernel MXU FFT: two DFT-matmul stages (four-step Cooley-Tukey)
+# ---------------------------------------------------------------------------
+
+
+def _split_factor(n: int) -> tuple[int, int]:
+    """n = n1 * n2 with n1 the largest power of two <= 128."""
+    n1 = min(128, n)
+    while n % n1:
+        n1 //= 2
+    return n1, n // n1
+
+
+@functools.lru_cache(maxsize=64)
+def _dft_consts(n: int, sign: float) -> tuple[np.ndarray, np.ndarray]:
+    """cos/sin of sign*2*pi*n1*k1/n as fp32 numpy (kernel constants)."""
+    idx = np.outer(np.arange(n), np.arange(n)).astype(np.float64)
+    ang = sign * 2.0 * np.pi * idx / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _twiddle_consts(n1: int, n2: int, sign: float) -> tuple[np.ndarray, np.ndarray]:
+    idx = np.outer(np.arange(n1), np.arange(n2)).astype(np.float64)
+    ang = sign * 2.0 * np.pi * idx / (n1 * n2)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _matfft_panel(re, im, inverse: bool, mats=None):
+    """FFT along axis 0 of an (n, c) panel via two MXU matmul stages.
+
+    Values-based (usable in-kernel and as interpret reference).  ``im`` may
+    be None (real input — first stage runs half the matmuls).  The inverse
+    includes the 1/n scale.  Same math as ops/matfft.py, arranged so both
+    contractions are plain 2-D `jnp.dot`s that Mosaic lowers onto the MXU.
+
+    ``mats``: optional (f1c, f1s, twc, tws, f2c, f2s) FORWARD-sign matrices
+    (Pallas kernels must receive constants as inputs); the inverse negates
+    the sine parts (cos is even, sin is odd).  Built on the fly when None.
+    """
+    n, c = re.shape
+    sign = 1.0 if inverse else -1.0
+    n1, n2 = _split_factor(n)
+    if mats is None:
+        f1c, f1s = (jnp.asarray(a) for a in _dft_consts(n1, -1.0))
+        twc, tws = (jnp.asarray(a) for a in _twiddle_consts(n1, max(n2, 2), -1.0))
+        f2c, f2s = (jnp.asarray(a) for a in _dft_consts(max(n2, 2), -1.0))
+    else:
+        f1c, f1s, twc, tws, f2c, f2s = mats
+    if inverse:  # forward-sign tables, odd symmetry of sin
+        f1s, tws, f2s = -f1s, -tws, -f2s
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+
+    # stage 1: B[k1, (n2 c)] = sum_n1 F[n1, k1] * A[n1, (n2 c)]
+    a_re = re.reshape(n1, n2 * c)
+    if im is None:
+        b_re = dot(f1c.T, a_re)
+        b_im = dot(f1s.T, a_re)
+    else:
+        a_im = im.reshape(n1, n2 * c)
+        b_re = dot(f1c.T, a_re) - dot(f1s.T, a_im)
+        b_im = dot(f1c.T, a_im) + dot(f1s.T, a_re)
+
+    if n2 == 1:
+        out_re, out_im = b_re.reshape(n, c), b_im.reshape(n, c)
+    else:
+        # twiddle W_n^{k1 n2} then stage 2 over n2
+        b_re = b_re.reshape(n1, n2, c)
+        b_im = b_im.reshape(n1, n2, c)
+        c_re = b_re * twc[:, :, None] - b_im * tws[:, :, None]
+        c_im = b_re * tws[:, :, None] + b_im * twc[:, :, None]
+
+        # contract over n2: flatten (k1, n2, c) -> (k1, c, n2) @ (n2, k2)
+        cr = jnp.swapaxes(c_re, 1, 2).reshape(n1 * c, n2)
+        ci = jnp.swapaxes(c_im, 1, 2).reshape(n1 * c, n2)
+        d_re = dot(cr, f2c) - dot(ci, f2s)  # (n1*c, k2)
+        d_im = dot(cr, f2s) + dot(ci, f2c)
+        # X[k1 + n1*k2] -> axes (k2, k1, c)
+        d_re = d_re.reshape(n1, c, n2)
+        d_im = d_im.reshape(n1, c, n2)
+        out_re = jnp.transpose(d_re, (2, 0, 1)).reshape(n, c)
+        out_im = jnp.transpose(d_im, (2, 0, 1)).reshape(n, c)
+
+    if inverse:
+        out_re = out_re / n
+        out_im = out_im / n
+    return out_re, out_im
+
+
+def _fused_kernel_matmul(
+    x_ref,
+    hre_ref,
+    him_ref,
+    scale_ref,
+    f1c_ref,
+    f1s_ref,
+    twc_ref,
+    tws_ref,
+    f2c_ref,
+    f2s_ref,
+    out_ref,
+    *,
+    n_fft: int,
+    seq_len: int,
+):
+    """One (n_fft, C_BLOCK) panel via MXU matmul FFT stages: FFT -> *H ->
+    IFFT -> *scale -> first T.  No scratch needed — the matmul formulation
+    keeps only ~6 live panels, well under VMEM at production shapes."""
+    mats = (
+        f1c_ref[:, :],
+        f1s_ref[:, :],
+        twc_ref[:, :],
+        tws_ref[:, :],
+        f2c_ref[:, :],
+        f2s_ref[:, :],
+    )
+    re = x_ref[0]
+    fr, fi = _matfft_panel(re, None, inverse=False, mats=mats)
+    h_re = hre_ref[:, :]
+    h_im = him_ref[:, :]
+    pr = fr * h_re - fi * h_im
+    pi = fr * h_im + fi * h_re
+    yr, _ = _matfft_panel(pr, pi, inverse=True, mats=mats)
+    out_ref[0] = yr[:seq_len, :] * scale_ref[0]
+
+
+# ---------------------------------------------------------------------------
 # Kernel body + pallas_call wrapper
 # ---------------------------------------------------------------------------
 
@@ -197,7 +323,7 @@ def fused_spectral_conv_reference(x: jax.Array, h_rfft: jax.Array, scale: jax.Ar
     return y * scale[:, None, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_spectral_conv(
     x: jax.Array,
     h_rfft: jax.Array,
@@ -205,6 +331,7 @@ def fused_spectral_conv(
     n_fft: int,
     c_block: int = 128,
     interpret: bool = False,
+    algo: str = "matmul",
 ) -> jax.Array:
     """Fused causal spectral conv (Pallas): one VMEM pass per (b, C-block).
 
@@ -218,10 +345,10 @@ def fused_spectral_conv(
         c_block: channel tile (multiple of 128 for fp32 lanes).
         interpret: run the kernel in interpreter mode (CPU testing).
     """
-    return _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret)
+    return _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo)
 
 
-def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret):
+def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo="matmul"):
     B, T, C = x.shape
     if not PALLAS_AVAILABLE:
         return fused_spectral_conv_reference(x, h_rfft, scale, n_fft)
@@ -229,7 +356,8 @@ def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret):
         interpret = True  # Mosaic compiles only for TPU; interpret elsewhere
     h_full = full_filter_from_rfft(h_rfft, n_fft)
     x_pad = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, n_fft - T), (0, 0)))
-    kernel = functools.partial(_fused_kernel_batched, n_fft=n_fft, seq_len=T)
+    kernel_fn = _fused_kernel_matmul if algo == "matmul" else _fused_kernel_batched
+    kernel = functools.partial(kernel_fn, n_fft=n_fft, seq_len=T)
     cb = min(c_block, C)
     while C % cb:
         cb //= 2
@@ -239,33 +367,47 @@ def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret):
     else:  # per-channel filter [n_fft, C]: tile the channel block with the data
         h_re, h_im = jnp.real(h_full), jnp.imag(h_full)
         h_spec = pl.BlockSpec((n_fft, cb), lambda b, c: (0, c), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, n_fft, cb), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+        h_spec,
+        h_spec,
+        pl.BlockSpec((1, 1, cb), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+    ]
+    operands = [x_pad, h_re, h_im, scale.astype(jnp.float32)[:, None, :]]
+    if algo == "matmul":
+        # DFT/twiddle matrices ride as inputs (Pallas: no captured constants);
+        # FORWARD sign — the kernel negates sines for the inverse.
+        n1, n2 = _split_factor(n_fft)
+        f1c, f1s = _dft_consts(n1, -1.0)
+        twc, tws = _twiddle_consts(n1, max(n2, 2), -1.0)
+        f2c, f2s = _dft_consts(max(n2, 2), -1.0)
+        for m in (f1c, f1s, twc, tws, f2c, f2s):
+            in_specs.append(
+                pl.BlockSpec(m.shape, functools.partial(lambda b, c, _s=(0, 0): _s), memory_space=pltpu.VMEM)
+            )
+            operands.append(jnp.asarray(m))
     return pl.pallas_call(
         kernel,
         grid=(B, C // cb),
-        in_specs=[
-            pl.BlockSpec((1, n_fft, cb), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
-            h_spec,
-            h_spec,
-            pl.BlockSpec((1, 1, cb), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, T, cb), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.float32),
         interpret=interpret,
-    )(x_pad, h_re, h_im, scale.astype(jnp.float32)[:, None, :])
+    )(*operands)
 
 
-def _fsc_fwd(x, h_rfft, scale, n_fft, c_block, interpret):
-    y = _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret)
+def _fsc_fwd(x, h_rfft, scale, n_fft, c_block, interpret, algo):
+    y = _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo)
     return y, (x, h_rfft, scale)
 
 
-def _fsc_bwd(n_fft, c_block, interpret, res, g):
+def _fsc_bwd(n_fft, c_block, interpret, algo, res, g):
     x, h_rfft, scale = res
     B, T, C = x.shape
     # grad wrt x: adjoint of a real conv = same kernel with conj(H), applied
     # to (g * scale) — reuses the fused Pallas kernel.
     gs = g * scale[:, None, :]
-    grad_x = _forward_impl(gs, jnp.conj(h_rfft), jnp.ones_like(scale), n_fft, c_block, interpret)
+    grad_x = _forward_impl(gs, jnp.conj(h_rfft), jnp.ones_like(scale), n_fft, c_block, interpret, algo)
     # grad wrt H: differentiate the (cheap, reduction-shaped) reference path
     # with XLA's fft autodiff — correct by construction in JAX's convention.
     _, h_vjp = jax.vjp(lambda h: fused_spectral_conv_reference(x, h, scale, n_fft), h_rfft)
