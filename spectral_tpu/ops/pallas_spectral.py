@@ -125,20 +125,46 @@ def _twiddle_consts(n1: int, n2: int, sign: float) -> tuple[np.ndarray, np.ndarr
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
+def _mat_stage1(re, im, f1c, f1s, n1, n2):
+    """Stage 1: B[k1, (n2 c)] = sum_n1 F[n1,k1] A[n1,(n2 c)]; returns (n, c)."""
+    n, c = re.shape
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    a_re = re.reshape(n1, n2 * c)
+    if im is None:
+        return dot(f1c.T, a_re).reshape(n, c), dot(f1s.T, a_re).reshape(n, c)
+    a_im = im.reshape(n1, n2 * c)
+    b_re = dot(f1c.T, a_re) - dot(f1s.T, a_im)
+    b_im = dot(f1c.T, a_im) + dot(f1s.T, a_re)
+    return b_re.reshape(n, c), b_im.reshape(n, c)
+
+
+def _mat_stage2(re, im, twc, tws, f2c, f2s, n1, n2):
+    """Twiddle + stage 2 + output reorder: (n, c) -> (n, c) FFT result."""
+    n, c = re.shape
+    b_re = re.reshape(n1, n2, c)
+    b_im = im.reshape(n1, n2, c)
+    c_re = b_re * twc[:, :, None] - b_im * tws[:, :, None]
+    c_im = b_re * tws[:, :, None] + b_im * twc[:, :, None]
+    # contract axis 1 (n2) with f2: dot_general -> (n1, c, k2), no pre-transpose
+    dn = (((1,), (0,)), ((), ()))
+    dg = functools.partial(jax.lax.dot_general, dimension_numbers=dn, preferred_element_type=jnp.float32)
+    d_re = dg(c_re, f2c) - dg(c_im, f2s)  # (n1, c, k2)
+    d_im = dg(c_re, f2s) + dg(c_im, f2c)
+    # X[k1 + n1*k2]: (n1, c, k2) -> (k2, n1, c) -> (n, c)
+    out_re = jnp.transpose(d_re, (2, 0, 1)).reshape(n, c)
+    out_im = jnp.transpose(d_im, (2, 0, 1)).reshape(n, c)
+    return out_re, out_im
+
+
 def _matfft_panel(re, im, inverse: bool, mats=None):
     """FFT along axis 0 of an (n, c) panel via two MXU matmul stages.
 
     Values-based (usable in-kernel and as interpret reference).  ``im`` may
     be None (real input — first stage runs half the matmuls).  The inverse
-    includes the 1/n scale.  Same math as ops/matfft.py, arranged so both
-    contractions are plain 2-D `jnp.dot`s that Mosaic lowers onto the MXU.
-
-    ``mats``: optional (f1c, f1s, twc, tws, f2c, f2s) FORWARD-sign matrices
-    (Pallas kernels must receive constants as inputs); the inverse negates
-    the sine parts (cos is even, sin is odd).  Built on the fly when None.
+    includes the 1/n scale.  ``mats``: optional FORWARD-sign
+    (f1c, f1s, twc, tws, f2c, f2s); inverse negates the sine parts.
     """
     n, c = re.shape
-    sign = 1.0 if inverse else -1.0
     n1, n2 = _split_factor(n)
     if mats is None:
         f1c, f1s = (jnp.asarray(a) for a in _dft_consts(n1, -1.0))
@@ -148,38 +174,10 @@ def _matfft_panel(re, im, inverse: bool, mats=None):
         f1c, f1s, twc, tws, f2c, f2s = mats
     if inverse:  # forward-sign tables, odd symmetry of sin
         f1s, tws, f2s = -f1s, -tws, -f2s
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
-    # stage 1: B[k1, (n2 c)] = sum_n1 F[n1, k1] * A[n1, (n2 c)]
-    a_re = re.reshape(n1, n2 * c)
-    if im is None:
-        b_re = dot(f1c.T, a_re)
-        b_im = dot(f1s.T, a_re)
-    else:
-        a_im = im.reshape(n1, n2 * c)
-        b_re = dot(f1c.T, a_re) - dot(f1s.T, a_im)
-        b_im = dot(f1c.T, a_im) + dot(f1s.T, a_re)
-
-    if n2 == 1:
-        out_re, out_im = b_re.reshape(n, c), b_im.reshape(n, c)
-    else:
-        # twiddle W_n^{k1 n2} then stage 2 over n2
-        b_re = b_re.reshape(n1, n2, c)
-        b_im = b_im.reshape(n1, n2, c)
-        c_re = b_re * twc[:, :, None] - b_im * tws[:, :, None]
-        c_im = b_re * tws[:, :, None] + b_im * twc[:, :, None]
-
-        # contract over n2: flatten (k1, n2, c) -> (k1, c, n2) @ (n2, k2)
-        cr = jnp.swapaxes(c_re, 1, 2).reshape(n1 * c, n2)
-        ci = jnp.swapaxes(c_im, 1, 2).reshape(n1 * c, n2)
-        d_re = dot(cr, f2c) - dot(ci, f2s)  # (n1*c, k2)
-        d_im = dot(cr, f2s) + dot(ci, f2c)
-        # X[k1 + n1*k2] -> axes (k2, k1, c)
-        d_re = d_re.reshape(n1, c, n2)
-        d_im = d_im.reshape(n1, c, n2)
-        out_re = jnp.transpose(d_re, (2, 0, 1)).reshape(n, c)
-        out_im = jnp.transpose(d_im, (2, 0, 1)).reshape(n, c)
-
+    out_re, out_im = _mat_stage1(re, im, f1c, f1s, n1, n2)
+    if n2 > 1:
+        out_re, out_im = _mat_stage2(out_re, out_im, twc, tws, f2c, f2s, n1, n2)
     if inverse:
         out_re = out_re / n
         out_im = out_im / n
@@ -203,24 +201,56 @@ def _fused_kernel_matmul(
     seq_len: int,
 ):
     """One (n_fft, C_BLOCK) panel via MXU matmul FFT stages: FFT -> *H ->
-    IFFT -> *scale -> first T.  No scratch needed — the matmul formulation
-    keeps only ~6 live panels, well under VMEM at production shapes."""
-    mats = (
-        f1c_ref[:, :],
-        f1s_ref[:, :],
-        twc_ref[:, :],
-        tws_ref[:, :],
-        f2c_ref[:, :],
-        f2s_ref[:, :],
+    IFFT -> *scale -> first T.  Intermediates ping-pong through two explicit
+    VMEM scratch pairs so the live set stays bounded (the free-form values
+    formulation stacked ~35 MB of temporaries at n_fft=2048)."""
+    cb = x_ref.shape[2]
+    n1, n2 = _split_factor(n_fft)
+    f1c = f1c_ref[:, :]
+    f1s = f1s_ref[:, :]
+    twc = twc_ref[:, :]
+    tws = tws_ref[:, :]
+    f2c = f2c_ref[:, :]
+    f2s = f2s_ref[:, :]
+
+    def body(a_re, a_im, b_re, b_im):
+        # forward stage 1 (real input)
+        o_re, o_im = _mat_stage1(x_ref[0], None, f1c, f1s, n1, n2)
+        a_re[:, :] = o_re
+        a_im[:, :] = o_im
+        # forward stage 2
+        if n2 > 1:
+            o_re, o_im = _mat_stage2(a_re[:, :], a_im[:, :], twc, tws, f2c, f2s, n1, n2)
+            b_re[:, :] = o_re
+            b_im[:, :] = o_im
+            fr, fi = b_re, b_im
+            dr, di = a_re, a_im
+        else:
+            fr, fi = a_re, a_im
+            dr, di = b_re, b_im
+        # fused filter multiply
+        h_re = hre_ref[:, :]
+        h_im = him_ref[:, :]
+        dr[:, :] = fr[:, :] * h_re - fi[:, :] * h_im
+        di[:, :] = fr[:, :] * h_im + fi[:, :] * h_re
+        # inverse stage 1 (negated sines)
+        o_re, o_im = _mat_stage1(dr[:, :], di[:, :], f1c, -f1s, n1, n2)
+        fr[:, :] = o_re
+        fi[:, :] = o_im
+        # inverse stage 2 + 1/n + scale + causal slice
+        if n2 > 1:
+            o_re, _ = _mat_stage2(fr[:, :], fi[:, :], twc, -tws, f2c, -f2s, n1, n2)
+        else:
+            o_re = fr[:, :]
+        out_ref[0] = o_re[:seq_len, :] * (scale_ref[0] / float(n_fft))
+
+    pl.run_scoped(
+        body,
+        a_re=pltpu.VMEM((n_fft, cb), jnp.float32),
+        a_im=pltpu.VMEM((n_fft, cb), jnp.float32),
+        b_re=pltpu.VMEM((n_fft, cb), jnp.float32),
+        b_im=pltpu.VMEM((n_fft, cb), jnp.float32),
     )
-    re = x_ref[0]
-    fr, fi = _matfft_panel(re, None, inverse=False, mats=mats)
-    h_re = hre_ref[:, :]
-    h_im = him_ref[:, :]
-    pr = fr * h_re - fi * h_im
-    pi = fr * h_im + fi * h_re
-    yr, _ = _matfft_panel(pr, pi, inverse=True, mats=mats)
-    out_ref[0] = yr[:seq_len, :] * scale_ref[0]
 
 
 # ---------------------------------------------------------------------------
