@@ -391,6 +391,10 @@ def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo="matmul"):
     cb = min(c_block, C)
     while C % cb:
         cb //= 2
+    # VMEM budget: ~8 live (n_fft, cb) fp32 panels (4 scratch + stage
+    # temporaries) must fit the 16 MB scoped limit with headroom
+    while cb > 8 and 8 * n_fft * cb * 4 > 12 * 2**20:
+        cb //= 2
     if h_full.ndim == 1:  # shared filter: one (n_fft, 1) column, broadcast in-kernel
         h_re, h_im = jnp.real(h_full)[:, None], jnp.imag(h_full)[:, None]
         h_spec = pl.BlockSpec((n_fft, 1), lambda b, c: (0, 0), memory_space=pltpu.VMEM)
