@@ -361,7 +361,7 @@ def fused_spectral_conv(
     n_fft: int,
     c_block: int = 128,
     interpret: bool = False,
-    algo: str = "matmul",
+    algo: str = "stockham",
 ) -> jax.Array:
     """Fused causal spectral conv (Pallas): one VMEM pass per (b, C-block).
 
@@ -378,7 +378,7 @@ def fused_spectral_conv(
     return _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo)
 
 
-def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo="matmul"):
+def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo="stockham"):
     B, T, C = x.shape
     if not PALLAS_AVAILABLE:
         return fused_spectral_conv_reference(x, h_rfft, scale, n_fft)
