@@ -392,8 +392,11 @@ def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo="stockham"):
     while C % cb:
         cb //= 2
     # VMEM budget: ~8 live (n_fft, cb) fp32 panels (4 scratch + stage
-    # temporaries) must fit the 16 MB scoped limit with headroom
-    while cb > 8 and 8 * n_fft * cb * 4 > 12 * 2**20:
+    # temporaries) should fit the 16 MB scoped limit with headroom.
+    # Mosaic requires the minor block dim to be a multiple of 128, so the
+    # block can never shrink below that — past it, VMEM pressure has to be
+    # solved inside the kernel (see PALLAS_OPTIMIZATION.md).
+    while cb > 128 and 8 * n_fft * cb * 4 > 12 * 2**20:
         cb //= 2
     if h_full.ndim == 1:  # shared filter: one (n_fft, 1) column, broadcast in-kernel
         h_re, h_im = jnp.real(h_full)[:, None], jnp.imag(h_full)[:, None]
