@@ -99,6 +99,12 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--seq", type=int, default=4096)
     ap.add_argument("--backend", default=None, choices=["xla", "matmul", "pallas"])
+    ap.add_argument(
+        "--fft-precision",
+        default="highest",
+        choices=["highest", "default"],
+        help="matmul-FFT stage precision: fp32-accurate vs bf16-input fast mode",
+    )
     args = ap.parse_args()
 
     from spectral_tpu.utils.platform import apply_platform_env
@@ -112,6 +118,13 @@ def main() -> None:
         import jax
 
         backend = "matmul" if jax.default_backend() == "tpu" else "xla"
+
+    if args.fft_precision == "default":
+        import jax as _jax
+
+        from spectral_tpu.ops import matfft
+
+        matfft.set_precision(_jax.lax.Precision.DEFAULT)
 
     iters = 10 if args.quick else 50
     try:
