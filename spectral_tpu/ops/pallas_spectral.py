@@ -184,6 +184,109 @@ def _matfft_panel(re, im, inverse: bool, mats=None):
     return out_re, out_im
 
 
+def _conv_tables(n_fft: int):
+    """FORWARD-sign DFT/twiddle tables for the transpose-free fused conv.
+
+    Returns (f1c, f1s, tw1c, tw1s, f2c, f2s, twAc, twAs):
+      f1 (n1, n1), tw1 (n1, n2), f2 (n2, n2) — forward stages;
+      twA (n2, n1) — the INVERSE mid-twiddle exp(+2i pi k1 t2 / n) laid out
+      (t2, k1) so the kernel needs no transposes (host-side tables only).
+    """
+    n1, n2 = _split_factor(n_fft)
+    f1c, f1s = _dft_consts(n1, -1.0)
+    tw1c, tw1s = _twiddle_consts(n1, max(n2, 2), -1.0)
+    f2c, f2s = _dft_consts(max(n2, 2), -1.0)
+    twAc, twAs = tw1c.T.copy(), (-tw1s.T).copy()
+    return f1c, f1s, tw1c, tw1s, f2c, f2s, twAc, twAs
+
+
+def _fused_conv_mxu_panel(x, h_re, h_im, tables, n_fft):
+    """Transpose-free four-step conv on one (n_fft, c) REAL panel.
+
+    Forward FFT is computed in digit-reversed (k2, k1) order, the filter is
+    pre-permuted to that order, and the inverse consumes it back to natural
+    time order — so every step is a `dot_general` with channels minor and
+    there are NO in-kernel transposes (the VMEM killer of the naive
+    formulation).  Returns the real time-domain result, NOT yet /n.
+    """
+    f1c, f1s, tw1c, tw1s, f2c, f2s, twAc, twAs = tables
+    n1, n2 = _split_factor(n_fft)
+    c = x.shape[-1]
+    dg0 = functools.partial(  # contract lhs axis0 with rhs axis0
+        jax.lax.dot_general,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dg1 = functools.partial(  # contract lhs axis0 with rhs axis1
+        jax.lax.dot_general,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    if n2 == 1:  # single-stage DFT: everything stays 2-D
+        b_re = dg0(f1c, x)
+        b_im = dg0(f1s, x)
+        hr2, hi2 = h_re[0], h_im[0]
+        p_re = b_re * hr2 - b_im * hi2
+        p_im = b_re * hi2 + b_im * hr2
+        return dg0(f1c, p_re) + dg0(f1s, p_im)
+
+    # ---- forward: A (n1, n2, c) -> D (k2, k1, c), digit-reversed ----
+    a = x.reshape(n1, n2, c)
+    b_re = dg0(f1c, a)  # (k1, n2, c); real input: half the matmuls
+    b_im = dg0(f1s, a)
+    c_re = b_re * tw1c[:, :, None] - b_im * tw1s[:, :, None]
+    c_im = b_re * tw1s[:, :, None] + b_im * tw1c[:, :, None]
+    d_re = dg1(f2c, c_re) - dg1(f2s, c_im)  # (k2, k1, c)
+    d_im = dg1(f2c, c_im) + dg1(f2s, c_re)
+
+    # ---- filter in (k2, k1, c) order ----
+    p_re = d_re * h_re - d_im * h_im
+    p_im = d_re * h_im + d_im * h_re
+
+    # ---- inverse (sign-flipped tables), consuming (k2, k1, c) ----
+    q_re = dg0(f2c, p_re) + dg0(f2s, p_im)  # G2 = (f2c, -f2s): (t2, k1, c)
+    q_im = dg0(f2c, p_im) - dg0(f2s, p_re)
+    r_re = q_re * twAc[:, :, None] - q_im * twAs[:, :, None]
+    r_im = q_re * twAs[:, :, None] + q_im * twAc[:, :, None]
+    # G1 = (f1c, -f1s), contract k1 (axis1 of r): output (t1, t2, c)
+    y_re = dg1(f1c, r_re) + dg1(f1s, r_im)
+    return y_re.reshape(n1 * n2, c)
+
+
+def _fused_kernel_mxu(
+    x_ref,
+    hre_ref,
+    him_ref,
+    scale_ref,
+    f1c_ref,
+    f1s_ref,
+    tw1c_ref,
+    tw1s_ref,
+    f2c_ref,
+    f2s_ref,
+    twAc_ref,
+    twAs_ref,
+    out_ref,
+    *,
+    n_fft: int,
+    seq_len: int,
+):
+    """One (n_fft, C_BLOCK) panel, transpose-free MXU four-step conv."""
+    tables = (
+        f1c_ref[:, :],
+        f1s_ref[:, :],
+        tw1c_ref[:, :],
+        tw1s_ref[:, :],
+        f2c_ref[:, :],
+        f2s_ref[:, :],
+        twAc_ref[:, :],
+        twAs_ref[:, :],
+    )
+    y = _fused_conv_mxu_panel(x_ref[0], hre_ref[:, :, :], him_ref[:, :, :], tables, n_fft)
+    out_ref[0] = y[:seq_len, :] * (scale_ref[0] / float(n_fft))
+
+
 def _fused_kernel_matmul(
     x_ref,
     hre_ref,
@@ -386,7 +489,7 @@ def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo="stockham"):
         interpret = True  # Mosaic compiles only for TPU; interpret elsewhere
     h_full = full_filter_from_rfft(h_rfft, n_fft)
     x_pad = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, n_fft - T), (0, 0)))
-    kernel_fn = _fused_kernel_matmul if algo == "matmul" else _fused_kernel_batched
+    kernel_fn = _fused_kernel_mxu if algo == "matmul" else _fused_kernel_batched
     kernel = functools.partial(kernel_fn, n_fft=n_fft, seq_len=T)
     cb = min(c_block, C)
     while C % cb:
@@ -412,13 +515,23 @@ def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo="stockham"):
     ]
     operands = [x_pad, h_re, h_im, scale.astype(jnp.float32)[:, None, :]]
     if algo == "matmul":
-        # DFT/twiddle matrices ride as inputs (Pallas: no captured constants);
-        # FORWARD sign — the kernel negates sines for the inverse.
+        # transpose-free kernel: the filter rides in digit-reversed
+        # (k2, k1, c) order (a pure reshape of the natural spectrum), and the
+        # DFT/twiddle tables ride as inputs (Pallas: no captured constants)
         n1, n2 = _split_factor(n_fft)
-        f1c, f1s = _dft_consts(n1, -1.0)
-        twc, tws = _twiddle_consts(n1, max(n2, 2), -1.0)
-        f2c, f2s = _dft_consts(max(n2, 2), -1.0)
-        for m in (f1c, f1s, twc, tws, f2c, f2s):
+        if h_full.ndim == 1:
+            h_re = jnp.real(h_full).reshape(n2, n1, 1)
+            h_im = jnp.imag(h_full).reshape(n2, n1, 1)
+            h_spec = pl.BlockSpec((n2, n1, 1), lambda b, c: (0, 0, 0), memory_space=pltpu.VMEM)
+        else:
+            h_re = jnp.real(h_full).reshape(n2, n1, C)
+            h_im = jnp.imag(h_full).reshape(n2, n1, C)
+            h_spec = pl.BlockSpec((n2, n1, cb), lambda b, c: (0, 0, c), memory_space=pltpu.VMEM)
+        in_specs[1] = h_spec
+        in_specs[2] = h_spec
+        operands[1] = h_re
+        operands[2] = h_im
+        for m in _conv_tables(n_fft):
             in_specs.append(
                 pl.BlockSpec(m.shape, functools.partial(lambda b, c, _s=(0, 0): _s), memory_space=pltpu.VMEM)
             )
