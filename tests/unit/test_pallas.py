@@ -82,3 +82,57 @@ class TestPallasByteEncoder:
         got = byte_encode_pallas(x, 16, interpret=True)
         want = byte_dft_features(x, 16)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
+class TestMXUKernel:
+    """Transpose-free in-kernel MXU four-step conv (algo='matmul')."""
+
+    def _case(self, B, T, C, NF, per_channel, seed=0):
+        import numpy as np
+
+        from spectral_tpu.ops.pallas_spectral import (
+            fused_spectral_conv,
+            fused_spectral_conv_reference,
+        )
+
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+        shape = (NF // 2 + 1, C) if per_channel else (NF // 2 + 1,)
+        h = jnp.asarray(
+            (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        )
+        s = jnp.asarray(rng.standard_normal((B, C)).astype(np.float32))
+        ref = fused_spectral_conv_reference(x, h, s, NF)
+        got = fused_spectral_conv(x, h, s, NF, 128, True, "matmul")
+        err = float(jnp.max(jnp.abs(got - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+        assert err < 5e-5, (NF, per_channel, err)
+
+    def test_single_stage(self):
+        self._case(2, 48, 8, 64, per_channel=False)
+        self._case(2, 48, 8, 64, per_channel=True)
+
+    def test_two_stage(self):
+        self._case(2, 100, 16, 256, per_channel=False)
+        self._case(2, 100, 16, 256, per_channel=True)
+
+    def test_production_shape(self):
+        self._case(1, 1000, 128, 2048, per_channel=False)
+
+    def test_grads_flow_through_mxu_algo(self):
+        import numpy as np
+
+        from spectral_tpu.ops.pallas_spectral import (
+            fused_spectral_conv,
+            fused_spectral_conv_reference,
+        )
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 50, 8)).astype(np.float32))
+        h = jnp.asarray(
+            (rng.standard_normal(129) + 1j * rng.standard_normal(129)).astype(np.complex64)
+        )
+        s = jnp.ones((2, 8), jnp.float32)
+
+        g1 = jax.grad(lambda x: jnp.sum(fused_spectral_conv(x, h, s, 256, 128, True, "matmul") ** 2))(x)
+        g2 = jax.grad(lambda x: jnp.sum(fused_spectral_conv_reference(x, h, s, 256) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-4, atol=2e-4)
