@@ -464,7 +464,7 @@ def fused_spectral_conv(
     n_fft: int,
     c_block: int = 128,
     interpret: bool = False,
-    algo: str = "stockham",
+    algo: str = "matmul",
 ) -> jax.Array:
     """Fused causal spectral conv (Pallas): one VMEM pass per (b, C-block).
 
@@ -481,7 +481,7 @@ def fused_spectral_conv(
     return _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo)
 
 
-def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo="stockham"):
+def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo="matmul"):
     B, T, C = x.shape
     if not PALLAS_AVAILABLE:
         return fused_spectral_conv_reference(x, h_rfft, scale, n_fft)
