@@ -558,12 +558,35 @@ def _fsc_bwd(n_fft, c_block, interpret, algo, res, g):
     # to (g * scale) — reuses the fused Pallas kernel.
     gs = g * scale[:, None, :]
     grad_x = _forward_impl(gs, jnp.conj(h_rfft), jnp.ones_like(scale), n_fft, c_block, interpret, algo)
-    # grad wrt H: differentiate the (cheap, reduction-shaped) reference path
-    # with XLA's fft autodiff — correct by construction in JAX's convention.
-    _, h_vjp = jax.vjp(lambda h: fused_spectral_conv_reference(x, h, scale, n_fft), h_rfft)
-    (grad_h,) = h_vjp(g)
-    # grad wrt scale: y = conv(x) * scale elementwise over (B, C)
-    conv = fused_spectral_conv_reference(x, h_rfft, jnp.ones_like(scale), n_fft)
+    # grad wrt H (JAX convention, verified against jax.vjp of the reference):
+    #   grad_H[f] = w[f] * sum conj(rfft(pad(g*scale)))[f] * rfft(pad(x))[f]
+    # with w = [1, 2, ..., 2, 1]/n (the irfft middle-bin doubling).  Both
+    # transforms run on the MXU (ops/matfft packed rfft) instead of XLA's
+    # VPU FFT — this was the backward-pass bottleneck of the kernel path.
+    from spectral_tpu.ops import matfft
+
+    gr, gi = matfft.rfft_ri(jnp.swapaxes(gs, 1, 2), n_fft)  # (B, C, F)
+    xr, xi = matfft.rfft_ri(jnp.swapaxes(x.astype(jnp.float32), 1, 2), n_fft)
+    prod_re = gr * xr + gi * xi  # conj(gf) * xf
+    prod_im = gr * xi - gi * xr
+    fbins = n_fft // 2 + 1
+    w = jnp.concatenate(
+        [
+            jnp.full((1,), 1.0 / n_fft, jnp.float32),
+            jnp.full((fbins - 2,), 2.0 / n_fft, jnp.float32),
+            jnp.full((1,), 1.0 / n_fft, jnp.float32),
+        ]
+    )
+    if h_rfft.ndim == 1:
+        grad_h = jax.lax.complex(jnp.sum(prod_re, axis=(0, 1)) * w, jnp.sum(prod_im, axis=(0, 1)) * w)
+    else:  # per-channel filter [F, C]: sum over batch only, axes back to (F, C)
+        grad_h = jax.lax.complex(
+            jnp.sum(prod_re, axis=0).T * w[:, None],
+            jnp.sum(prod_im, axis=0).T * w[:, None],
+        )
+    # grad wrt scale: y = conv(x) * scale elementwise over (B, C) — the conv
+    # itself re-runs through the fused kernel (not the XLA reference).
+    conv = _forward_impl(x, h_rfft, jnp.ones_like(scale), n_fft, c_block, interpret, algo)
     grad_scale = jnp.sum(g * conv, axis=1)
     return grad_x, grad_h, grad_scale
 
