@@ -547,12 +547,16 @@ def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo="matmul"):
 
 
 def _fsc_fwd(x, h_rfft, scale, n_fft, c_block, interpret, algo):
-    y = _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo)
-    return y, (x, h_rfft, scale)
+    # run the kernel with unit scale and apply scale outside (XLA fuses the
+    # elementwise multiply) so the unscaled conv can ride in the residuals —
+    # grad_scale then needs NO extra kernel run in the backward pass
+    conv = _forward_impl(x, h_rfft, jnp.ones_like(scale), n_fft, c_block, interpret, algo)
+    y = conv * scale[:, None, :]
+    return y, (x, h_rfft, scale, conv)
 
 
 def _fsc_bwd(n_fft, c_block, interpret, algo, res, g):
-    x, h_rfft, scale = res
+    x, h_rfft, scale, conv = res
     B, T, C = x.shape
     # grad wrt x: adjoint of a real conv = same kernel with conj(H), applied
     # to (g * scale) — reuses the fused Pallas kernel.
@@ -584,9 +588,8 @@ def _fsc_bwd(n_fft, c_block, interpret, algo, res, g):
             jnp.sum(prod_re, axis=0).T * w[:, None],
             jnp.sum(prod_im, axis=0).T * w[:, None],
         )
-    # grad wrt scale: y = conv(x) * scale elementwise over (B, C) — the conv
-    # itself re-runs through the fused kernel (not the XLA reference).
-    conv = _forward_impl(x, h_rfft, jnp.ones_like(scale), n_fft, c_block, interpret, algo)
+    # grad wrt scale: y = conv(x) * scale elementwise over (B, C); conv was
+    # cached by the forward rule — no extra kernel run.
     grad_scale = jnp.sum(g * conv, axis=1)
     return grad_x, grad_h, grad_scale
 
