@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frequency-native", action="store_true")
     p.add_argument("--bicameral", action="store_true")
     p.add_argument("--compute-dtype", type=str, default=None, choices=["float32", "bfloat16"])
+    p.add_argument("--fft-backend", type=str, default=None, choices=["xla", "matmul"])
+    p.add_argument("--fft-precision", type=str, default=None, choices=["highest", "default"])
     p.add_argument("--mesh-dp", type=int, default=None, help="data-parallel mesh axis size")
     p.add_argument("--mesh-sp", type=int, default=None, help="sequence-parallel mesh axis size")
     p.add_argument("--mesh-tp", type=int, default=None, help="tensor-parallel mesh axis size")
@@ -73,6 +75,8 @@ _ARG_TO_FIELD = {
     "log_every_steps": "log_every_steps",
     "stage3_lr_mult": "stage3_lr_mult",
     "stage3_min_mult": "stage3_min_mult",
+    "fft_backend": "fft_backend",
+    "fft_precision": "fft_precision",
     "ckpt_path": "ckpt_path",
     "val_batches": "val_batches",
     "eval_every_epochs": "eval_every_epochs",
