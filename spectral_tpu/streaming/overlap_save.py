@@ -2,10 +2,12 @@
 
 Reference: scripts/generate_chunked_overlap_save.py:52-206 — the
 README-recommended streaming path.  Per chunk of B new bytes, each block is
-advanced with ONE fixed-size FFT over [last K-1 pre-norm activations | new
-chunk], keeping the full gate stack (per-frequency gate, sliding-window
-context gate, per-channel gain) — decode cost is O(layers * FFT(n_fft)) per
-chunk, independent of history length.
+advanced with ONE fixed-size FFT over the full slid pre-norm window, keeping
+the full gate stack (per-frequency gate, sliding-window context gate,
+per-channel gain) — decode cost is O(layers * FFT(n_fft)) per chunk,
+independent of history length.  (The reference transforms only
+[last K-1 samples | chunk]; that variant is exact only with a SATURATED
+frequency gate — see _block_chunk_update.)
 
 State per layer: ``ctx_ln`` [1, T, C] — a sliding window of pre-norm
 activations used for (a) the K-1 overlap samples and (b) the context-gate
@@ -116,14 +118,15 @@ class OverlapSaveStream:
         g_ctx = jax.nn.sigmoid(pooled @ bp["gate_ctx"]["kernel"] + bp["gate_ctx"]["bias"])
         g_freq = jax.nn.sigmoid(bp["gate_freq_logits"][:fbins])
 
-        # overlap-save segment: last K-1 context samples + the new chunk
-        if K > 1:
-            overlap = ctx_new[:, -(K - 1 + B) : -B, :]
-            x_seg = jnp.concatenate([overlap, ln_chunk], axis=1)  # [1, K-1+B, C]
-        else:
-            x_seg = ln_chunk
-        L = x_seg.shape[1]
-        x_pad = jnp.pad(x_seg, ((0, 0), (0, n_fft - L), (0, 0)))
+        # full-window segment: the ENTIRE slid pre-norm window rides through
+        # one fixed-size FFT.  The classic K-1-sample overlap (reference
+        # :128-144) is exact only while the per-frequency gate is saturated —
+        # an ACTIVE gate turns the K-tap kernel into a full-length effective
+        # kernel irfft(k̂·g_freq), whose memory exceeds K-1 samples.  Feeding
+        # the full window reproduces the training forward bit-for-bit with
+        # the whole trained gate stack, at the SAME cost (the update already
+        # pays one length-n_fft transform per chunk either way).
+        x_pad = jnp.pad(ctx_new, ((0, 0), (0, n_fft - T), (0, 0)))
 
         x_freq = jnp.fft.rfft(x_pad, axis=1)
         k = jnp.pad(bp["kernel"], (0, n_fft - K))
@@ -136,7 +139,7 @@ class OverlapSaveStream:
             * g_ctx[:, None, :]
         )
         y_pad = jnp.fft.irfft(y_freq, n=n_fft, axis=1)
-        y_chunk = y_pad[:, K - 1 : K - 1 + B, :]  # outputs at the new positions
+        y_chunk = y_pad[:, T - B : T, :]  # outputs at the new (last B) positions
 
         h_out = _ffn(bp["ffn"], h_chunk + y_chunk)
         return h_out, ctx_new
