@@ -96,6 +96,12 @@ class FixedSpectralBlock(nn.Module):
     fft_backend: str = "xla"  # "xla" | "matmul" (MXU four-step FFT)
     fft_precision: str = "highest"  # matmul-FFT stage precision
     compute_dtype: str = "float32"  # bf16 for the FFN matmuls (complex stays fp32)
+    # Sequence parallelism: when a mesh with sp > 1 is supplied, the conv
+    # routes through the Ulysses all-to-all (parallel/distributed_fft.py):
+    # time-sharded -> channel-sharded, local full-length FFT, and back —
+    # instead of letting XLA all-gather the time axis around jnp.fft.
+    mesh: Optional[jax.sharding.Mesh] = None
+    sp_axis: str = "sp"
 
     @nn.compact
     def __call__(
@@ -136,7 +142,26 @@ class FixedSpectralBlock(nn.Module):
         )  # [B, C]
         mask = cutoff_mask(fbins, cutoff, self.transition_bins)
 
-        if self.use_pallas_kernel:
+        use_sp = self.mesh is not None and self.mesh.shape.get(self.sp_axis, 1) > 1
+        if use_sp:
+            # THE headline TPU feature (SURVEY §5.7/§7): sequence-sharded
+            # conv via Ulysses all-to-alls.  Gates/gain are real diagonal
+            # scales commuting with the linear transform — folded into the
+            # replicated filter (g_freq·mask) and the time-local output
+            # multiply (gain·g_ctx), so only the conv itself communicates.
+            from spectral_tpu.parallel.distributed_fft import sequence_sharded_spectral_conv
+
+            h_fused = k_freq * g_freq * mask  # [F] complex, replicated
+            scale = gain[None, :] * g_ctx  # [B, C]
+            local_backend = (
+                "pallas" if self.use_pallas_kernel
+                else ("matmul" if self.fft_backend == "matmul" else "xla")
+            )
+            y = sequence_sharded_spectral_conv(
+                x, h_fused, self.mesh, axis=self.sp_axis, n_fft=n_fft, backend=local_backend
+            )
+            y = y * scale[:, None, :]
+        elif self.use_pallas_kernel:
             # ONE VMEM-resident pass: FFT -> (k̂ · g_freq · mask) -> IFFT,
             # real per-channel scales (gain · ctx gate) folded into the
             # time-domain output — mathematically identical to the XLA path.
@@ -184,6 +209,9 @@ class FixedSpectralLM(nn.Module):
     """
 
     cfg: TrainConfig
+    # optional device mesh: sp>1 routes the conv through the Ulysses
+    # all-to-all (sequence parallelism); passed by the sharded trainer.
+    mesh: Optional[jax.sharding.Mesh] = None
 
     def setup(self):
         cfg = self.cfg
@@ -199,6 +227,8 @@ class FixedSpectralLM(nn.Module):
         else:
             block_cls = FixedSpectralBlock
         extra = {}
+        if block_cls is FixedSpectralBlock and self.mesh is not None:
+            extra["mesh"] = self.mesh
         if block_cls is FixedSpectralBlock and cfg.use_pallas_kernel:
             extra["use_pallas_kernel"] = True
         if block_cls is FixedSpectralBlock and cfg.fft_backend != "xla":

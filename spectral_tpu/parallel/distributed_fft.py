@@ -15,9 +15,25 @@ of ring-attention/Ulysses for the FFT-conv architecture:
 
 Cost: 2 all-to-alls of the activation per conv — exactly the Ulysses
 communication volume — riding ICI via jax.lax.all_to_all under shard_map.
+
+This is the TRAINING path under ``sp`` (FixedSpectralBlock routes its conv
+here when constructed with a mesh whose sp axis > 1 — see
+models/backbone.py), not just a standalone demo; the all-to-all shows up in
+the jitted train step's jaxpr (tests/unit/test_parallel.py).
+
+Gradients ride a ``jax.custom_vjp`` (jax 0.9 cannot transpose ``lax.fft``
+inside ``shard_map`` — its cotangent aval loses the varying-axes annotation):
+* grad_x is the SAME sharded conv with the conjugate filter (the adjoint of
+  a real causal conv — identical comm volume to the forward);
+* grad_h is a forward-only shard_map: both operands re-shard to
+  channel-sharded panels, each device reduces conj(Ĝ)·X̂ over its local
+  batch/channels, and a psum over (dp, sp) replicates the [F] cotangent.
 """
 
 from __future__ import annotations
+
+import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +47,125 @@ except ImportError:  # pragma: no cover
 from spectral_tpu.ops.fftc import conv_n_fft, kernel_rfft
 
 
+def _resolve_batch_axis(mesh: Mesh, batch_axis) -> Optional[str]:
+    if batch_axis == "auto":
+        return "dp" if "dp" in mesh.axis_names else None
+    return batch_axis
+
+
+def _local_spectral_conv(xg: jax.Array, h: jax.Array, n_fft: int, T: int, backend: str):
+    """Full-length causal spectral conv on one device's channel slice.
+
+    xg: [b, T, C/n] real with the FULL time axis; h: [F] complex.
+    """
+    if backend == "matmul":
+        from spectral_tpu.ops.matfft import spectral_conv_matmul
+
+        y = spectral_conv_matmul(jnp.swapaxes(xg.astype(jnp.float32), 1, 2), h, n_fft)
+        return jnp.swapaxes(y, 1, 2)
+    if backend == "pallas":
+        from spectral_tpu.ops.pallas_spectral import fused_spectral_conv
+
+        ones = jnp.ones((xg.shape[0], xg.shape[2]), jnp.float32)
+        return fused_spectral_conv(xg.astype(jnp.float32), h, ones, n_fft)
+    x_pad = jnp.pad(xg.astype(jnp.float32), ((0, 0), (0, n_fft - T), (0, 0)))
+    xf = jnp.fft.rfft(x_pad, axis=1)
+    return jnp.fft.irfft(xf * h[None, :, None], n=n_fft, axis=1)[:, :T, :]
+
+
+def _time_to_channel(x_local, n: int, axis: str, T: int):
+    """All-to-all: time-sharded [b, T/n, C] -> channel-sharded [b, T, C/n]."""
+    b, t, cfull = x_local.shape
+    cg = cfull // n
+    xs = jnp.reshape(x_local, (b, t, n, cg))
+    xg = jax.lax.all_to_all(xs, axis, split_axis=2, concat_axis=1)  # [b, n, t, cg]
+    return jnp.reshape(xg, (b, T, cg))  # time chunks n-major: global order
+
+
+def _channel_to_time(y, n: int, axis: str, t: int):
+    """All-to-all back: channel-sharded [b, T, C/n] -> time-sharded [b, T/n, C]."""
+    b, T, cg = y.shape
+    ys = jnp.reshape(y, (b, n, t, cg))
+    yl = jax.lax.all_to_all(ys, axis, split_axis=1, concat_axis=2)  # [b, t, n, cg]
+    return jnp.reshape(yl, (b, t, n * cg))
+
+
+def _conv_impl(x, h_rfft, mesh, axis, n_fft, backend, batch_axis):
+    B, T, C = x.shape
+    n = mesh.shape[axis]
+
+    def local_fn(x_local, h):
+        t = x_local.shape[1]
+        xg = _time_to_channel(x_local, n, axis, T)
+        y = _local_spectral_conv(xg, h, n_fft, T, backend)
+        return _channel_to_time(y, n, axis, t).astype(x_local.dtype)
+
+    spec = P(batch_axis, axis, None)
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(spec, P()), out_specs=spec)
+    return fn(x, h_rfft)
+
+
+def _grad_h_impl(x, g, mesh, axis, n_fft, batch_axis):
+    """Cotangent of the replicated filter: w ⊙ Σ_{b,c} conj(Ĝ)·X̂.
+
+    w = [1, 2, ..., 2, 1]/n_fft is the irfft middle-bin doubling (same
+    convention as ops/pallas_spectral._fsc_bwd, verified against jax.vjp of
+    the unsharded reference).  Each device reduces its local channels/batch
+    after the all-to-all re-shard; a psum over (sp [, dp]) replicates.
+    """
+    B, T, C = x.shape
+    n = mesh.shape[axis]
+    psum_axes = (axis,) + ((batch_axis,) if batch_axis else ())
+
+    def local_fn(x_local, g_local):
+        xg = _time_to_channel(x_local.astype(jnp.float32), n, axis, T)
+        gg = _time_to_channel(g_local.astype(jnp.float32), n, axis, T)
+        pad = ((0, 0), (0, n_fft - T), (0, 0))
+        xf = jnp.fft.rfft(jnp.pad(xg, pad), axis=1)  # [b, F, cg]
+        gf = jnp.fft.rfft(jnp.pad(gg, pad), axis=1)
+        xr, xi = jnp.real(xf), jnp.imag(xf)
+        gr, gi = jnp.real(gf), jnp.imag(gf)
+        pr = jnp.sum(gr * xr + gi * xi, axis=(0, 2))  # conj(gf)·xf, local reduce
+        pi = jnp.sum(gr * xi - gi * xr, axis=(0, 2))
+        pr = jax.lax.psum(pr, psum_axes)
+        pi = jax.lax.psum(pi, psum_axes)
+        return pr, pi
+
+    spec = P(batch_axis, axis, None)
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(spec, spec), out_specs=(P(), P()))
+    pr, pi = fn(x, g)
+    fbins = n_fft // 2 + 1
+    w = jnp.concatenate(
+        [
+            jnp.full((1,), 1.0 / n_fft, jnp.float32),
+            jnp.full((fbins - 2,), 2.0 / n_fft, jnp.float32),
+            jnp.full((1,), 1.0 / n_fft, jnp.float32),
+        ]
+    )
+    return jax.lax.complex(pr * w, pi * w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _sharded_conv(x, h_rfft, mesh, axis, n_fft, backend, batch_axis):
+    return _conv_impl(x, h_rfft, mesh, axis, n_fft, backend, batch_axis)
+
+
+def _sharded_conv_fwd(x, h_rfft, mesh, axis, n_fft, backend, batch_axis):
+    y = _conv_impl(x, h_rfft, mesh, axis, n_fft, backend, batch_axis)
+    return y, (x, h_rfft)
+
+
+def _sharded_conv_bwd(mesh, axis, n_fft, backend, batch_axis, res, g):
+    x, h_rfft = res
+    # adjoint of the real causal conv: same sharded conv, conjugate filter
+    grad_x = _conv_impl(g, jnp.conj(h_rfft), mesh, axis, n_fft, backend, batch_axis)
+    grad_h = _grad_h_impl(x, g, mesh, axis, n_fft, batch_axis)
+    return grad_x.astype(x.dtype), grad_h
+
+
+_sharded_conv.defvjp(_sharded_conv_fwd, _sharded_conv_bwd)
+
+
 def sequence_sharded_spectral_conv(
     x: jax.Array,
     h_rfft: jax.Array,
@@ -38,54 +173,33 @@ def sequence_sharded_spectral_conv(
     *,
     axis: str = "sp",
     n_fft: Optional[int] = None,
+    backend: str = "xla",
+    batch_axis: Optional[str] = "auto",
 ) -> jax.Array:
     """Causal spectral conv y = irfft(rfft(pad(x)) * H)[:T] with x sharded
     over the TIME axis of ``mesh[axis]``.
 
     Args:
-        x: [B, T, C] real, T sharded over ``axis`` (C divisible by axis size).
-        h_rfft: [F] complex fused filter (k̂ or k̂·gate·mask).
+        x: [B, T, C] real, T sharded over ``axis`` (C and T divisible by the
+            axis size).
+        h_rfft: [F] complex fused filter (k̂ or k̂·gate·mask), replicated.
         mesh: device mesh containing ``axis``.
         n_fft: static FFT length (>= T + K - 1); default next_pow2(2T).
+        backend: local transform — "xla" (jnp.fft), "matmul" (MXU DFT
+            stages), or "pallas" (fused kernel per device).
+        batch_axis: mesh axis sharding the batch dim, "auto" = use "dp" when
+            the mesh has one, None = batch replicated/unsharded.
     Returns:
         [B, T, C] real, time-sharded like the input.
     """
     B, T, C = x.shape
     n = mesh.shape[axis]
     assert C % n == 0, f"C={C} must divide over {axis}={n}"
+    assert T % n == 0, f"T={T} must divide over {axis}={n}"
     if n_fft is None:
         n_fft = conv_n_fft(T, T)  # caller should pass the real K; safe default
-
-    def local_fn(x_local, h):
-        t = x_local.shape[1]  # = T/n, this device's time slice
-        # 1) all-to-all: time-sharded -> channel-sharded.
-        #    Split channels into n groups (n-major flatten of C); send group g
-        #    to device g; the received source-device axis (at concat position)
-        #    indexes the global time chunk.
-        xs = jnp.reshape(x_local, (B, t, n, C // n))
-        xg = jax.lax.all_to_all(xs, axis, split_axis=2, concat_axis=1)  # [B, n, t, C/n]
-        xg = jnp.reshape(xg, (B, T, C // n))  # time chunks are n-major: global order
-
-        # 2) local full-length causal FFT conv on this device's C/n channels
-        x_pad = jnp.pad(xg.astype(jnp.float32), ((0, 0), (0, n_fft - T), (0, 0)))
-        xf = jnp.fft.rfft(x_pad, axis=1)
-        yf = xf * h[None, :, None]
-        y = jnp.fft.irfft(yf, n=n_fft, axis=1)[:, :T, :]
-
-        # 3) all-to-all back: send time chunk i to device i; the received
-        #    source-device axis indexes the channel GROUP and must sit n-major
-        #    before the within-group channels (concat at position 2).
-        ys = jnp.reshape(y, (B, n, t, C // n))
-        yl = jax.lax.all_to_all(ys, axis, split_axis=1, concat_axis=2)  # [B, t, n, C/n]
-        return jnp.reshape(yl, (B, t, C)).astype(x_local.dtype)
-
-    fn = shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(None, axis, None), P()),
-        out_specs=P(None, axis, None),
-    )
-    return fn(x, h_rfft)
+    batch_axis = _resolve_batch_axis(mesh, batch_axis)
+    return _sharded_conv(x, h_rfft, mesh, axis, n_fft, backend, batch_axis)
 
 
 def sequence_sharded_causal_conv(
@@ -94,10 +208,11 @@ def sequence_sharded_causal_conv(
     mesh: Mesh,
     *,
     axis: str = "sp",
+    backend: str = "xla",
 ) -> jax.Array:
     """Convenience wrapper: time-sharded causal conv with a K-tap kernel."""
     B, T, C = x.shape
     (K,) = kernel.shape
     n_fft = conv_n_fft(T, K)
     h = kernel_rfft(kernel, n_fft)
-    return sequence_sharded_spectral_conv(x, h, mesh, axis=axis, n_fft=n_fft)
+    return sequence_sharded_spectral_conv(x, h, mesh, axis=axis, n_fft=n_fft, backend=backend)

@@ -81,6 +81,129 @@ class TestMesh:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+class TestUlyssesWiring:
+    """The sequence-sharded conv is the TRAINING path under sp (VERDICT #3)."""
+
+    def _model_pair(self, **cfg_kw):
+        from spectral_tpu.models.backbone import FixedSpectralLM
+        from spectral_tpu.models.config import TrainConfig
+
+        cfg = TrainConfig(
+            d_model=64, n_layers=2, seq_len=64, kernel_len=16, jpeg_transition=8, dropout=0.0,
+            **cfg_kw,
+        )
+        mesh = make_mesh(8)
+        return FixedSpectralLM(cfg), FixedSpectralLM(cfg, mesh=mesh), mesh, cfg
+
+    def test_sp_wired_forward_matches_unsharded(self):
+        m_plain, m_sp, mesh, cfg = self._model_pair()
+        x = jnp.asarray(np.random.default_rng(0).integers(0, 256, (4, 64)).astype(np.int32))
+        params = m_plain.init(jax.random.PRNGKey(0), x)["params"]
+        y_pl = m_plain.apply({"params": params}, x, cutoff=jnp.int32(24))
+        with mesh:
+            y_sp = m_sp.apply({"params": params}, x, cutoff=jnp.int32(24))
+        np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_pl), rtol=1e-4, atol=1e-4)
+
+    def test_sp_wired_grads_match_unsharded(self):
+        m_plain, m_sp, mesh, cfg = self._model_pair()
+        x = jnp.asarray(np.random.default_rng(1).integers(0, 256, (4, 64)).astype(np.int32))
+        params = m_plain.init(jax.random.PRNGKey(0), x)["params"]
+
+        def loss(m):
+            return lambda p: jnp.sum(m.apply({"params": p}, x, cutoff=jnp.int32(24)) ** 2)
+
+        g_pl = jax.jit(jax.grad(loss(m_plain)))(params)
+        g_sp = jax.jit(jax.grad(loss(m_sp)))(params)
+        for a, b in zip(jax.tree.leaves(g_sp), jax.tree.leaves(g_pl)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+    def test_jaxpr_proves_all_to_all_not_all_gather(self):
+        """SURVEY §5.7: the headline TPU feature must be IN the compiled
+        step — the traced step contains the Ulysses all_to_all primitive and
+        no explicit all_gather of the time axis."""
+        m_plain, m_sp, mesh, cfg = self._model_pair()
+        x = jnp.zeros((4, 64), jnp.int32)
+        params = m_plain.init(jax.random.PRNGKey(0), x)["params"]
+        jaxpr = str(
+            jax.make_jaxpr(lambda p, x: m_sp.apply({"params": p}, x, cutoff=jnp.int32(24)))(params, x)
+        )
+        assert "all_to_all" in jaxpr
+        assert "all_gather" not in jaxpr
+        # one conv per block, two all-to-alls per conv
+        assert jaxpr.count("all_to_all") == 2 * cfg.n_layers
+
+    def test_sharded_train_step_with_ulysses(self):
+        """End-to-end sharded train step with the mesh-wired model: loss
+        matches the unsharded step (the Ulysses path is numerically the same
+        conv)."""
+        from spectral_tpu.models.backbone import FixedSpectralLM
+        from spectral_tpu.models.config import TrainConfig
+        from spectral_tpu.parallel.sharded_train import make_sharded_train_step
+        from spectral_tpu.train.trainer import make_optimizer, make_train_step
+
+        cfg = TrainConfig(
+            d_model=64, n_layers=2, seq_len=64, kernel_len=16, jpeg_transition=8,
+            batch_size=4, accum_steps=2, dropout=0.0,
+        )
+        mesh = make_mesh(8)
+        model_sp = FixedSpectralLM(cfg, mesh=mesh)
+        model_pl = FixedSpectralLM(cfg)
+        rng = np.random.default_rng(0)
+        x0 = jnp.zeros((cfg.batch_size, cfg.seq_len), jnp.int32)
+        params0 = model_pl.init(jax.random.PRNGKey(0), x0)["params"]
+        bx = jnp.asarray(rng.integers(0, 256, (2, 4, 64)).astype(np.int32))
+        by = jnp.asarray(rng.integers(0, 256, (2, 4, 64)).astype(np.int32))
+        args = (jnp.int32(24), jnp.float32(1e-3), jax.random.PRNGKey(1))
+
+        tx = make_optimizer(cfg)
+        p_ref, _, loss_ref = make_train_step(model_pl, cfg, tx)(
+            jax.tree.map(lambda x: x.copy(), params0), tx.init(params0), bx, by, *args
+        )
+        with mesh:
+            p_sh = shard_params(jax.tree.map(lambda x: x.copy(), params0), mesh)
+            opt_sh = tx.init(p_sh)
+            step, opt_sh = make_sharded_train_step(model_sp, cfg, tx, mesh)(p_sh, opt_sh)
+            p_sh, _, loss_sh = step(p_sh, opt_sh, bx, by, *args)
+        np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+    def test_larger_shape_dryrun(self):
+        """VERDICT #10: a d256/seq512 sharded train step on the 8-device CPU
+        mesh — shapes where sp/tp layout actually bites.  Wall-clock recorded
+        in MULTICHIP notes."""
+        import time
+
+        import optax
+
+        from spectral_tpu.models.backbone import FixedSpectralLM
+        from spectral_tpu.models.config import TrainConfig
+        from spectral_tpu.parallel.sharded_train import make_sharded_train_step
+        from spectral_tpu.train.trainer import make_optimizer
+
+        cfg = TrainConfig(
+            d_model=256, n_layers=2, seq_len=512, kernel_len=64, jpeg_transition=32,
+            batch_size=4, accum_steps=1, dropout=0.0,
+        )
+        mesh = make_mesh(8)
+        model = FixedSpectralLM(cfg, mesh=mesh)
+        rng = np.random.default_rng(0)
+        x0 = jnp.zeros((cfg.batch_size, cfg.seq_len), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), x0)["params"]
+        tx = make_optimizer(cfg)
+        t0 = time.time()
+        with mesh:
+            p_sh = shard_params(params, mesh)
+            opt_sh = tx.init(p_sh)
+            step, opt_sh = make_sharded_train_step(model, cfg, tx, mesh)(p_sh, opt_sh)
+            bx = jnp.asarray(rng.integers(0, 256, (1, 4, 512)).astype(np.int32))
+            by = jnp.asarray(rng.integers(0, 256, (1, 4, 512)).astype(np.int32))
+            _, _, loss = step(p_sh, opt_sh, bx, by, jnp.int32(128), jnp.float32(1e-3), jax.random.PRNGKey(1))
+            loss = float(loss)
+        assert np.isfinite(loss)
+        print(f"\nlarger-shape dryrun d256/seq512/8dev: loss={loss:.4f} wall={time.time()-t0:.1f}s")
+
+
 class TestProfiling:
     def test_measure_bandwidth_and_gate(self):
         import jax.numpy as jnp
