@@ -98,6 +98,16 @@ def cfg_from_args(args: argparse.Namespace) -> TrainConfig:
         overrides["use_fp32"] = True
     if args.bicameral:
         overrides["bicameral"] = True
+
+    # TPU defaults (only when the flags weren't given): the MXU matmul FFT in
+    # bf16 fast mode — corpus-level loss-curve parity with the fp32-accurate
+    # mode was validated in round 1 (BENCHMARKS.md "bf16 fast mode"), and the
+    # reference itself trains under AMP (train_fixed_full.py:822,929).
+    import jax
+
+    if jax.default_backend() == "tpu":
+        overrides.setdefault("fft_backend", "matmul")
+        overrides.setdefault("fft_precision", "default")
     return TrainConfig(**overrides)
 
 

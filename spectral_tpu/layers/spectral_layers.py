@@ -32,6 +32,20 @@ from flax import linen as nn
 from spectral_tpu.ops.wirtinger import wirtinger_multiply_ri
 
 
+@__import__("functools").lru_cache(maxsize=32)
+def _lowbin_tables(T: int, k: int):
+    """(T, k) cos/sin tables of the lowest k DFT bins: ang = 2π·t·j/T."""
+    import numpy as np
+
+    t = np.arange(T)[:, None].astype(np.float64)
+    j = np.arange(k)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * t * j / T
+    return (
+        jnp.asarray(np.cos(ang).astype(np.float32)),
+        jnp.asarray(np.sin(ang).astype(np.float32)),
+    )
+
+
 class SpectralMixingLayer(nn.Module):
     """O(T log T) global mixing: FFT → learnable complex filter → IFFT.
 
@@ -49,9 +63,12 @@ class SpectralMixingLayer(nn.Module):
     dropout: float = 0.0
     learnable: bool = True
     use_wirtinger: bool = True
-    # "xla" (jnp.fft), "matmul" (MXU four-step FFT, ops/matfft.py), or
-    # "pallas" (single VMEM-resident fused kernel, ops/pallas_spectral.py);
-    # matmul/pallas require power-of-two T
+    # "xla" (jnp.fft), "matmul" (MXU four-step FFT, ops/matfft.py),
+    # "pallas" (single VMEM-resident fused kernel, ops/pallas_spectral.py),
+    # or "bandlimited" (rank-k low-bin projection — the layer ZEROES all
+    # bins >= num_filters by contract, so the full transform is never
+    # needed: two (T, k) DFT matmuls around the filter, O(T*k) work and a
+    # tiny [B, k, D] intermediate).  matmul/pallas require power-of-two T.
     fft_backend: str = "xla"
 
     @property
@@ -67,6 +84,8 @@ class SpectralMixingLayer(nn.Module):
             return self._matmul_forward(x, deterministic)
         if self.fft_backend == "pallas":
             return self._pallas_forward(x, deterministic)
+        if self.fft_backend == "bandlimited":
+            return self._bandlimited_forward(x, deterministic)
 
         x_freq = jnp.fft.fft(x.astype(jnp.float32), axis=1)  # [B, T, D] complex64
 
@@ -139,6 +158,56 @@ class SpectralMixingLayer(nn.Module):
 
         y = jnp.swapaxes(matfft.irfft_ri(pr, pi, T), 1, 2).astype(x.dtype)
         y = y + bias
+        return nn.Dropout(self.dropout)(y, deterministic=deterministic)
+
+    def _bandlimited_forward(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        """Rank-k band projection — algebraically identical to the XLA path.
+
+        The layer's contract zeroes every bin >= k AND the conjugate tail
+        (reference spectral_layers.py:101-109 filters a FULL fft), so
+        ``y = Re(ifft(pad(W ⊙ fft(x)[:k])))`` collapses to two (T, k) DFT
+        matmuls around a (k, D) filter:
+
+            X[j]  = Σ_t x[t]·(cos - i·sin)(2πjt/T),   j < k
+            y[t]  = (1/T)·Σ_j  Yr[j]·cos(2πjt/T) - Yi[j]·sin(2πjt/T)
+
+        O(T·k·D) MXU work and a [B, k, D] intermediate instead of a full
+        O(T·F·D) spectrum — the dominant seq-4k win (k = D/2 = 128 vs
+        F = 2049).  Precision follows ops.matfft.set_precision (bf16 fast
+        mode on TPU by default; HIGHEST restores fp32 accuracy).
+        """
+        import functools
+
+        from spectral_tpu.ops import matfft
+
+        B, T, D = x.shape
+        if not self.learnable:
+            return nn.Dropout(self.dropout)(x, deterministic=deterministic)  # ifft(fft(x)) == x
+
+        nf = self.n_filters
+        w_real = self.param("weight_real", nn.initializers.ones, (D, nf))
+        w_imag = self.param("weight_imag", nn.initializers.zeros, (D, nf))
+        bias = self.param("bias", nn.initializers.zeros, (D,))
+        k = min(nf, T // 2)
+
+        tc, ts = _lowbin_tables(T, k)
+        mm = functools.partial(
+            jnp.einsum, preferred_element_type=jnp.float32, precision=matfft._PRECISION
+        )
+        xf = x.astype(jnp.float32)
+        xr = mm("btc,tk->bkc", xf, tc)  # Re rfft(x)[:k]
+        xi = -mm("btc,tk->bkc", xf, ts)  # Im rfft(x)[:k]
+        wr = w_real[:, :k].T[None]  # (1, k, D)
+        wi = w_imag[:, :k].T[None]
+        yr = xr * wr - xi * wi
+        yi = xr * wi + xi * wr
+        # reconstruction weights: the XLA path is a FULL fft whose conjugate
+        # (negative-frequency) bins are zeroed along with the high bins, so
+        # each kept bin carries exactly 1/T — no Hermitian doubling
+        # (same algebra as _matmul_forward's half-scaled effective filter)
+        s = jnp.full((k,), 1.0 / T, jnp.float32)[None, :, None]
+        y = mm("bkc,tk->btc", yr * s, tc) - mm("bkc,tk->btc", yi * s, ts)
+        y = y.astype(x.dtype) + bias
         return nn.Dropout(self.dropout)(y, deterministic=deterministic)
 
     def _pallas_forward(self, x: jax.Array, deterministic: bool) -> jax.Array:

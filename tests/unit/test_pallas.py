@@ -118,6 +118,53 @@ class TestMXUKernel:
     def test_production_shape(self):
         self._case(1, 1000, 128, 2048, per_channel=False)
 
+    def test_forced_slab_pipeline_matches(self, monkeypatch):
+        """Force the k1-slabbed pipeline at small shapes (cheap in interpret
+        mode) and require exact agreement with the reference."""
+        from spectral_tpu.ops import pallas_spectral as ps
+
+        monkeypatch.setattr(ps, "_pick_slab", lambda n_fft, cb, t, pc: 32)
+        self._case(2, 100, 16, 256, per_channel=False)
+        self._case(2, 100, 16, 256, per_channel=True)
+        self._case(2, 200, 8, 512, per_channel=True)
+
+    def test_flagship_seq4k_shape(self):
+        """The VERDICT round-1 cliff: n_fft=4096 per-channel (the seq-4k
+        mixing-layer bench shape) must be accepted — unslabbed under the
+        raised scoped-VMEM limit, slabbed if the planner says otherwise."""
+        self._case(1, 4096, 128, 4096, per_channel=True, seed=7)
+
+    def test_seq4k_backbone_shape(self):
+        """Backbone conv at seq 4096: n_fft=8192, shared filter."""
+        self._case(1, 4096, 128, 8192, per_channel=False, seed=8)
+
+    def test_slab_planner_kicks_in_at_extreme_sizes(self):
+        from spectral_tpu.ops.pallas_spectral import _pick_slab
+
+        assert _pick_slab(2048, 128, 1024, False) == 0  # production shape: unslabbed
+        assert _pick_slab(4096, 128, 4096, True) == 0  # bench shape fits the raised limit
+        assert _pick_slab(16384, 128, 16384, True) > 0  # extreme: slabbed
+
+    def test_slab_grads_match_reference(self, monkeypatch):
+        from spectral_tpu.ops import pallas_spectral as ps
+
+        monkeypatch.setattr(ps, "_pick_slab", lambda n_fft, cb, t, pc: 32)
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.standard_normal((2, 100, 8)).astype(np.float32))
+        h = jnp.asarray(
+            (rng.standard_normal((129, 8)) + 1j * rng.standard_normal((129, 8))).astype(np.complex64)
+        )
+        s = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+        p = rng.standard_normal((2, 100, 8)).astype(np.float32)
+        g_pal = jax.grad(
+            lambda *a: jnp.sum(fused_spectral_conv(*a, 256, 128, True, "matmul") * p), argnums=(0, 1, 2)
+        )(x, h, s)
+        g_ref = jax.grad(
+            lambda *a: jnp.sum(fused_spectral_conv_reference(*a, 256) * p), argnums=(0, 1, 2)
+        )(x, h, s)
+        for a, b in zip(g_pal, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
     def test_grads_flow_through_mxu_algo(self):
         import numpy as np
 
