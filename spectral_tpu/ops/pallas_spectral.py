@@ -523,6 +523,197 @@ def _fused_kernel_batched(x_ref, hre_ref, him_ref, scale_ref, out_ref, *, n_fft:
 
 
 # ---------------------------------------------------------------------------
+# Fused backward kernel: grad_x + grad_H products in ONE VMEM pass
+# ---------------------------------------------------------------------------
+
+
+def _panel_fwd_stages(x2d, tables, n_fft):
+    """Forward four-step stages of one real (n_fft, c) panel -> digit-
+    reversed (k2, c, k1) spectrum (re, im).  Shared by the bwd kernel."""
+    f1c, f1s, tw1c, tw1s, f2c, f2s, _, _ = tables
+    n1, n2 = _split_factor(n_fft)
+    a = x2d.reshape(n1, n2, x2d.shape[-1])
+    b_re = _dg00(a, f1c)
+    b_im = _dg00(a, f1s)
+    c_re = b_re * tw1c - b_im * tw1s
+    c_im = b_re * tw1s + b_im * tw1c
+    d_re = _dg00(f2c, c_re) - _dg00(f2s, c_im)
+    d_im = _dg00(f2c, c_im) + _dg00(f2s, c_re)
+    return d_re, d_im
+
+
+def _panel_inv_stages(p_re, p_im, tables, n_fft):
+    """Inverse four-step stages: digit-reversed (k2, c, k1) -> real
+    (n_fft, c) time panel (NOT yet /n).  Shared by the bwd kernel."""
+    f1c, f1s, _, _, f2c, f2s, twAc, twAs = tables
+    n1, n2 = _split_factor(n_fft)
+    c = p_re.shape[1]
+    q_re = _dg00(f2c, p_re) + _dg00(f2s, p_im)
+    q_im = _dg00(f2c, p_im) - _dg00(f2s, p_re)
+    r_re = q_re * twAc - q_im * twAs
+    r_im = q_re * twAs + q_im * twAc
+    y_re = _dg12(f1c, r_re) + _dg12(f1s, r_im)
+    return y_re.reshape(n_fft, c)
+
+
+def _fused_bwd_kernel_mxu(
+    gs_ref,
+    x_ref,
+    hre_ref,
+    him_ref,
+    f1c_ref,
+    f1s_ref,
+    tw1c_ref,
+    tw1s_ref,
+    f2c_ref,
+    f2s_ref,
+    twAc_ref,
+    twAs_ref,
+    gx_ref,
+    ghre_ref,
+    ghim_ref,
+    *,
+    n_fft: int,
+    seq_len: int,
+    per_channel: bool,
+):
+    """Fused backward: per (c-block, b) cell compute BOTH
+    grad_x = irfft(rfft(pad(gs)) * conj(H))[:T]  and the filter-cotangent
+    product conj(Ĝ)·X̂ accumulated into a digit-reversed full-spectrum
+    output (the host reorders to natural bins, slices the rfft half and
+    applies the irfft bin weights).  One VMEM pass, 3 in-kernel transforms,
+    no HBM spectra — replaces the 2 standalone XLA/matfft rffts of the
+    unfused rule.  b is the inner grid axis, so the grad-H output block is
+    revisited consecutively (legal accumulation).
+    """
+    tables = (
+        f1c_ref[:, :],
+        f1s_ref[:, :],
+        tw1c_ref[:, :, :],
+        tw1s_ref[:, :, :],
+        f2c_ref[:, :],
+        f2s_ref[:, :],
+        twAc_ref[:, :, :],
+        twAs_ref[:, :, :],
+    )
+    gs2d = _pad_panel(gs_ref[0], n_fft)
+    x2d = _pad_panel(x_ref[0], n_fft)
+
+    g_re, g_im = _panel_fwd_stages(gs2d, tables, n_fft)  # (k2, c, k1)
+    x_re, x_im = _panel_fwd_stages(x2d, tables, n_fft)
+
+    # grad_x: multiply by conj(H) and invert
+    h_re = hre_ref[:, :, :]
+    h_im = him_ref[:, :, :]
+    p_re = g_re * h_re + g_im * h_im
+    p_im = g_im * h_re - g_re * h_im
+    gx = _panel_inv_stages(p_re, p_im, tables, n_fft)
+    gx_ref[0] = gx[:seq_len, :] * (1.0 / float(n_fft))
+
+    # grad_H product: conj(Ĝ)·X̂, accumulated over the batch grid axis
+    # (and over channels in-kernel when the filter is shared)
+    gh_re = g_re * x_re + g_im * x_im
+    gh_im = g_re * x_im - g_im * x_re
+    if not per_channel:
+        gh_re = jnp.sum(gh_re, axis=1, keepdims=True)
+        gh_im = jnp.sum(gh_im, axis=1, keepdims=True)
+
+    b = pl.program_id(1)
+    first = (b == 0) if per_channel else ((b == 0) & (pl.program_id(0) == 0))
+
+    @pl.when(first)
+    def _init():
+        ghre_ref[:, :, :] = gh_re
+        ghim_ref[:, :, :] = gh_im
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        ghre_ref[:, :, :] += gh_re
+        ghim_ref[:, :, :] += gh_im
+
+
+def _fused_bwd_impl(gs, x, h_rfft, n_fft, c_block, interpret):
+    """pallas_call wrapper for the fused backward.  Returns
+    (grad_x [B,T,C], grad_h [F] or [F,C] complex)."""
+    B, T, C = x.shape
+    per_channel = h_rfft.ndim > 1
+    h_full = full_filter_from_rfft(h_rfft, n_fft)
+    n1, n2 = _split_factor(n_fft)
+    cb = min(c_block, C)
+    while C % cb:
+        cb //= 2
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+
+    if per_channel:
+        h_re = jnp.transpose(jnp.real(h_full).reshape(n2, n1, C), (0, 2, 1))
+        h_im = jnp.transpose(jnp.imag(h_full).reshape(n2, n1, C), (0, 2, 1))
+        h_spec = pl.BlockSpec((n2, cb, n1), lambda c, b: (0, c, 0), memory_space=pltpu.VMEM)
+        gh_shape = (n2, C, n1)
+        gh_spec = pl.BlockSpec((n2, cb, n1), lambda c, b: (0, c, 0), memory_space=pltpu.VMEM)
+    else:
+        h_re = jnp.real(h_full).reshape(n2, 1, n1)
+        h_im = jnp.imag(h_full).reshape(n2, 1, n1)
+        h_spec = pl.BlockSpec((n2, 1, n1), lambda c, b: (0, 0, 0), memory_space=pltpu.VMEM)
+        gh_shape = (n2, 1, n1)
+        gh_spec = pl.BlockSpec((n2, 1, n1), lambda c, b: (0, 0, 0), memory_space=pltpu.VMEM)
+
+    data_spec = pl.BlockSpec((1, T, cb), lambda c, b: (b, 0, c), memory_space=pltpu.VMEM)
+    in_specs = [data_spec, data_spec, h_spec, h_spec]
+    operands = [gs.astype(jnp.float32), x.astype(jnp.float32), h_re, h_im]
+    for m in _conv_tables(n_fft):
+        in_specs.append(
+            pl.BlockSpec(
+                m.shape,
+                functools.partial(lambda c, b, _s: _s, _s=(0,) * m.ndim),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(jnp.asarray(m))
+
+    kernel = functools.partial(
+        _fused_bwd_kernel_mxu, n_fft=n_fft, seq_len=T, per_channel=per_channel
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    grad_x, ghre, ghim = pl.pallas_call(
+        kernel,
+        grid=(C // cb, B),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, T, cb), lambda c, b: (b, 0, c), memory_space=pltpu.VMEM),
+            gh_spec,
+            gh_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, C), jnp.float32),
+            jax.ShapeDtypeStruct(gh_shape, jnp.float32),
+            jax.ShapeDtypeStruct(gh_shape, jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(*operands)
+
+    # digit-reversed (k2, c, k1) -> natural bins (n, c): k = k1 + n1*k2,
+    # i.e. (k2, k1, c) k2-major flattens to the natural order
+    fbins = n_fft // 2 + 1
+    ghre_n = jnp.transpose(ghre, (0, 2, 1)).reshape(n_fft, -1)[:fbins]
+    ghim_n = jnp.transpose(ghim, (0, 2, 1)).reshape(n_fft, -1)[:fbins]
+    w = jnp.concatenate(
+        [
+            jnp.full((1,), 1.0 / n_fft, jnp.float32),
+            jnp.full((fbins - 2,), 2.0 / n_fft, jnp.float32),
+            jnp.full((1,), 1.0 / n_fft, jnp.float32),
+        ]
+    )[:, None]
+    grad_h = jax.lax.complex(ghre_n * w, ghim_n * w)
+    if not per_channel:
+        grad_h = grad_h[:, 0]
+    return grad_x, grad_h
+
+
+# ---------------------------------------------------------------------------
 # Public op with custom vjp
 # ---------------------------------------------------------------------------
 
@@ -709,9 +900,28 @@ def _fsc_fwd(x, h_rfft, scale, n_fft, c_block, interpret, algo):
 def _fsc_bwd(n_fft, c_block, interpret, algo, res, g):
     x, h_rfft, scale, conv = res
     B, T, C = x.shape
-    # grad wrt x: adjoint of a real conv = same kernel with conj(H), applied
-    # to (g * scale) — reuses the fused Pallas kernel.
     gs = g * scale[:, None, :]
+
+    n1, n2 = _split_factor(n_fft)
+    cb = min(c_block, C)
+    while C % cb:
+        cb //= 2
+    use_fused_bwd = (
+        PALLAS_AVAILABLE
+        and algo == "matmul"
+        and n2 > 1
+        # the bwd kernel holds ~2 forward pipelines live
+        and 2 * _kernel_vmem_estimate(n_fft, cb, T, h_rfft.ndim > 1, 0) <= _VMEM_LIMIT
+    )
+    if use_fused_bwd:
+        # ONE VMEM pass: grad_x (adjoint conv with conj(H)) + the grad_H
+        # product conj(Ĝ)·X̂ — no standalone rffts, no HBM spectra.
+        grad_x, grad_h = _fused_bwd_impl(gs, x, h_rfft, n_fft, c_block, interpret)
+        grad_scale = jnp.sum(g * conv, axis=1)
+        return grad_x, grad_h, grad_scale
+
+    # fallback (slabbed sizes / stockham algo): adjoint conv through the
+    # forward kernel + grad_H via two MXU rfft reductions.
     grad_x = _forward_impl(gs, jnp.conj(h_rfft), jnp.ones_like(scale), n_fft, c_block, interpret, algo)
     # grad wrt H (JAX convention, verified against jax.vjp of the reference):
     #   grad_H[f] = w[f] * sum conj(rfft(pad(g*scale)))[f] * rfft(pad(x))[f]
