@@ -20,6 +20,7 @@ def main():
     apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--data", type=str, default=None, help="real corpus path (default: synthetic)")
     args = ap.parse_args()
 
     import jax
@@ -45,9 +46,15 @@ def main():
     tmodel = TorchLM(cfg)
     copy_params_to_torch(params, tmodel, cfg.n_layers)
 
-    # a real corpus: structured synthetic text
-    words = ["the ", "cat ", "sat ", "on ", "a ", "mat. ", "dogs ", "run ", "far. "]
-    corpus = np.frombuffer("".join(rng.choice(words) for _ in range(20000)).encode(), dtype=np.uint8)
+    if args.data:
+        from spectral_tpu.train.data import load_corpus_as_u8
+
+        corpus = load_corpus_as_u8(args.data)
+        print(f"corpus: {args.data} ({len(corpus):,} bytes)")
+    else:
+        # structured synthetic text
+        words = ["the ", "cat ", "sat ", "on ", "a ", "mat. ", "dogs ", "run ", "far. "]
+        corpus = np.frombuffer("".join(rng.choice(words) for _ in range(20000)).encode(), dtype=np.uint8)
 
     def batch():
         starts = rng.integers(0, corpus.shape[0] - cfg.seq_len - 2, cfg.batch_size)
