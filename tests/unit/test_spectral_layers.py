@@ -109,6 +109,47 @@ class TestSpectralMixingLayer:
         np.testing.assert_allclose(np.asarray(gx), xt.grad.numpy(), rtol=1e-4, atol=1e-4)
 
 
+class TestBackendEquivalence:
+    """All FFT backends of the mixing layer compute the same function.
+
+    'bandlimited' is the seq-4k headline path (bench.py): the layer zeroes
+    bins >= num_filters by contract, so the rank-k projection is exact."""
+
+    def _pair(self, backend, T=256, D=64, seed=0):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((2, T, D)).astype(np.float32))
+        ref = SpectralMixingLayer(D, fft_backend="xla")
+        params = ref.init(jax.random.PRNGKey(1), x)
+        params = jax.tree.map(
+            lambda l: l + 0.1 * jax.random.normal(jax.random.PRNGKey(2), l.shape), params
+        )
+        alt = SpectralMixingLayer(D, fft_backend=backend)
+        return ref, alt, params, x
+
+    def test_bandlimited_forward_and_grads_match_xla(self):
+        ref, alt, params, x = self._pair("bandlimited")
+        np.testing.assert_allclose(
+            np.asarray(alt.apply(params, x)), np.asarray(ref.apply(params, x)), atol=2e-5
+        )
+        g_ref = jax.grad(lambda p: jnp.sum(ref.apply(p, x) ** 2))(params)
+        g_alt = jax.grad(lambda p: jnp.sum(alt.apply(p, x) ** 2))(params)
+        for a, b in zip(jax.tree.leaves(g_alt), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+    def test_matmul_forward_matches_xla(self):
+        ref, alt, params, x = self._pair("matmul")
+        np.testing.assert_allclose(
+            np.asarray(alt.apply(params, x)), np.asarray(ref.apply(params, x)), atol=2e-5
+        )
+
+    def test_bandlimited_nonlearnable_identity(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((1, 128, 32)).astype(np.float32))
+        layer = SpectralMixingLayer(32, learnable=False, fft_backend="bandlimited")
+        y = layer.apply(layer.init(jax.random.PRNGKey(0), x), x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
 class TestBlocks:
     def test_spectral_mlp_block_shapes_and_grads(self):
         rng = np.random.default_rng(4)
