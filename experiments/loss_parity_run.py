@@ -36,7 +36,11 @@ def main():
     sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tests" / "integration"))
     from test_loss_parity import TorchLM, copy_params_to_torch
 
+    # causal_taps=False: the torch oracle implements the reference
+    # equations verbatim (the production default diverges deliberately —
+    # see ops/fftc.causal_filter_taps)
     cfg = TrainConfig(
+        causal_taps=False,
         d_model=64, n_layers=2, seq_len=128, kernel_len=32, jpeg_transition=8,
         batch_size=8, dropout=0.0, lr=1e-3, weight_decay=0.0,
     )

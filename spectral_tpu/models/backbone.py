@@ -31,6 +31,7 @@ from flax import linen as nn
 
 from spectral_tpu.models.config import TrainConfig
 from spectral_tpu.ops.fftc import (
+    causal_filter_taps,
     conv_freq_bins,
     conv_n_fft,
     cutoff_mask,
@@ -102,6 +103,13 @@ class FixedSpectralBlock(nn.Module):
     # instead of letting XLA all-gather the time axis around jnp.fft.
     mesh: Optional[jax.sharding.Mesh] = None
     sp_axis: str = "sp"
+    # Causality fix (DELIBERATE divergence from the reference): project the
+    # fused filter k̂·gate·mask onto its first n_fft-T time taps so the conv
+    # is truly causal for ANY trained gate values.  The reference's circular
+    # tail leaks future tokens once the per-bin gate trains away from its
+    # uniform init (ops/fftc.causal_filter_taps has the measurement).
+    # False reproduces the reference equations bit-for-bit (golden tests).
+    causal_taps: bool = True
 
     @nn.compact
     def __call__(
@@ -142,6 +150,13 @@ class FixedSpectralBlock(nn.Module):
         )  # [B, C]
         mask = cutoff_mask(fbins, cutoff, self.transition_bins)
 
+        # ONE fused complex filter for every backend; the real per-channel
+        # scales (gain · ctx gate) commute with the linear transform and are
+        # applied to the time-domain output.
+        h_fused = k_freq * g_freq * mask  # [F] complex
+        if self.causal_taps:
+            h_fused = causal_filter_taps(h_fused, n_fft, n_fft - T)
+
         use_sp = self.mesh is not None and self.mesh.shape.get(self.sp_axis, 1) > 1
         if use_sp:
             # THE headline TPU feature (SURVEY §5.7/§7): sequence-sharded
@@ -151,7 +166,6 @@ class FixedSpectralBlock(nn.Module):
             # multiply (gain·g_ctx), so only the conv itself communicates.
             from spectral_tpu.parallel.distributed_fft import sequence_sharded_spectral_conv
 
-            h_fused = k_freq * g_freq * mask  # [F] complex, replicated
             scale = gain[None, :] * g_ctx  # [B, C]
             local_backend = (
                 "pallas" if self.use_pallas_kernel
@@ -162,12 +176,11 @@ class FixedSpectralBlock(nn.Module):
             )
             y = y * scale[:, None, :]
         elif self.use_pallas_kernel:
-            # ONE VMEM-resident pass: FFT -> (k̂ · g_freq · mask) -> IFFT,
-            # real per-channel scales (gain · ctx gate) folded into the
+            # ONE VMEM-resident pass: FFT -> fused filter -> IFFT, real
+            # per-channel scales (gain · ctx gate) folded into the
             # time-domain output — mathematically identical to the XLA path.
             from spectral_tpu.ops.pallas_spectral import fused_spectral_conv
 
-            h_fused = k_freq * g_freq * mask  # [F] complex
             scale = gain[None, :] * g_ctx  # [B, C]
             y = fused_spectral_conv(x, h_fused, scale, n_fft)
         elif self.fft_backend == "matmul":
@@ -177,7 +190,6 @@ class FixedSpectralBlock(nn.Module):
             # with the linear irfft).
             from spectral_tpu.ops.matfft import spectral_conv_matmul
 
-            h_fused = k_freq * g_freq * mask  # [F] complex
             scale = gain[None, :] * g_ctx  # [B, C]
             prec = (
                 jax.lax.Precision.HIGHEST
@@ -188,9 +200,8 @@ class FixedSpectralBlock(nn.Module):
             y = jnp.swapaxes(y, 1, 2) * scale[:, None, :]
         else:
             x_freq = rfft_time(x, n_fft)  # [B, F, C] complex64
-            y_freq = x_freq * k_freq[None, :, None] * gain[None, None, :].astype(jnp.complex64)
-            y_freq = y_freq * g_freq[None, :, None] * g_ctx[:, None, :]  # "valve"
-            y_freq = y_freq * mask[None, :, None]  # JPEG schedule roll-off
+            y_freq = x_freq * h_fused[None, :, None]  # kernel x "valve" x roll-off
+            y_freq = y_freq * (gain[None, :] * g_ctx)[:, None, :]
             y = irfft_time(y_freq, n_fft, T)  # causal: first T of the linear conv
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         x = residual + y
@@ -226,7 +237,7 @@ class FixedSpectralLM(nn.Module):
             block_cls = FrequencyNativeBlock
         else:
             block_cls = FixedSpectralBlock
-        extra = {}
+        extra = {"causal_taps": cfg.causal_taps}
         if block_cls is FixedSpectralBlock and self.mesh is not None:
             extra["mesh"] = self.mesh
         if block_cls is FixedSpectralBlock and cfg.use_pallas_kernel:

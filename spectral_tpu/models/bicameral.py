@@ -48,6 +48,12 @@ class BicameralBlock(nn.Module):
     transition_bins: int
     dropout: float = 0.1
     ffn_mult: int = 2
+    # project the fused freq-path filter onto its first n_fft-T taps so the
+    # RIGHT-BRAIN conv is truly causal for trained gates/mask — the
+    # PhaseShift "activation" is a parameter-only complex multiplier, so the
+    # whole freq path is linear-diagonal and causalizable
+    # (ops/fftc.causal_filter_taps)
+    causal_taps: bool = True
 
     @nn.compact
     def __call__(
@@ -81,20 +87,30 @@ class BicameralBlock(nn.Module):
 
         x_freq = rfft_time(x, n_fft)
         k_freq = kernel_rfft(kernel_freq, n_fft)
-        y_freq = x_freq * k_freq[None, :, None] * gain_freq[None, None, :].astype(jnp.complex64)
 
         g_freq = jax.nn.sigmoid(gate_freq_logits[:fbins])
         g_ctx = jax.nn.sigmoid(
             nn.Dense(C, kernel_init=nn.initializers.zeros, bias_init=_gate_bias_init, name="gate_ctx_freq")(pooled)
         )
-        y_freq = y_freq * g_freq[None, :, None] * g_ctx[:, None, :]
-
-        # phase activation (frequency-native nonlinearity)
-        y_freq = PhaseShift(C, max_freq_bins, name="phase_activation")(y_freq)
-
-        # curriculum cutoff — RIGHT BRAIN ONLY
+        # phase "activation" is a parameter-only complex multiplier [F, C];
+        # curriculum cutoff applies to the RIGHT BRAIN ONLY.  All diagonal
+        # factors commute — fuse them into one per-channel filter so it can
+        # be tap-projected for true causality.
+        phase = PhaseShift(C, max_freq_bins, name="phase_activation")
         mask = cutoff_mask(fbins, cutoff, self.transition_bins)
-        y_freq = y_freq * mask[None, :, None]
+        h_eff = (
+            k_freq[:, None]
+            * g_freq[:, None]
+            * mask[:, None]
+            * phase.multiplier(fbins)
+        )  # [F, C]
+        if self.causal_taps:
+            from spectral_tpu.ops.fftc import causal_filter_taps
+
+            h_eff = causal_filter_taps(h_eff, n_fft, n_fft - T)
+
+        y_freq = x_freq * h_eff[None]
+        y_freq = y_freq * (gain_freq[None, :] * g_ctx)[:, None, :]
 
         y_spectral = irfft_time(y_freq, n_fft, T)  # [B, T, C]
 

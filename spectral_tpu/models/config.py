@@ -40,6 +40,12 @@ class TrainConfig:
     lr: float = 2e-4
     weight_decay: float = 5e-4
     grad_clip: float = 1.0
+    # Causality fix (deliberate divergence from the reference): project the
+    # fused spectral filter onto its first n_fft - seq_len time taps so the
+    # conv stays truly causal for trained gate/mask values — the reference's
+    # circular tail leaks future tokens (ops/fftc.causal_filter_taps).
+    # False reproduces the reference equations exactly.
+    causal_taps: bool = True
     # progressive frequency schedule (JPEG)
     jpeg_low: int = 128
     jpeg_mid: int = 512

@@ -48,25 +48,32 @@ def _polar(mag: jax.Array, phase: jax.Array) -> jax.Array:
 
 
 class PhaseShift(nn.Module):
-    """Frequency-native nonlinearity: learned per-(bin, channel) phase rotation.
-
-    rotation = tanh(w) * pi (bounded), magnitude scale = 1 + 0.1*tanh(m)
-    (near-unity => energy-preserving).  Reference: frequency_native.py:22-77.
+    """Frequency-native "nonlinearity": learned per-(bin, channel) phase
+    rotation.  Despite the reference's framing it is a LINEAR map — a
+    parameter-only complex multiplier ``(1 + 0.1·tanh(m)) · e^{i·tanh(w)·π}``
+    per (bin, channel) — which is what lets the bicameral freq path fold it
+    into a causalizable filter.  Reference: frequency_native.py:22-77.
     """
 
     d_model: int
     n_freqs: int
 
-    @nn.compact
-    def __call__(self, z_freq: jax.Array) -> jax.Array:
-        phase_weights = self.param("phase_weights", _small_normal, (self.n_freqs, self.d_model))
-        magnitude_logits = self.param("magnitude_logits", nn.initializers.zeros, (self.n_freqs, self.d_model))
+    def setup(self):
+        self.phase_weights = self.param("phase_weights", _small_normal, (self.n_freqs, self.d_model))
+        self.magnitude_logits = self.param(
+            "magnitude_logits", nn.initializers.zeros, (self.n_freqs, self.d_model)
+        )
 
-        fbins = z_freq.shape[1]
-        magnitude, phase = safe_magnitude_phase(z_freq)  # NaN-safe at masked zeros
-        rotation = jnp.tanh(phase_weights[:fbins]) * math.pi  # [F, C]
-        mag_scale = 1.0 + 0.1 * jnp.tanh(magnitude_logits[:fbins])
-        return _polar(magnitude * mag_scale[None], phase + rotation[None])
+    def multiplier(self, fbins: int) -> jax.Array:
+        """The [fbins, C] complex constant this module multiplies by."""
+        rotation = jnp.tanh(self.phase_weights[:fbins]) * math.pi
+        mag_scale = 1.0 + 0.1 * jnp.tanh(self.magnitude_logits[:fbins])
+        return _polar(mag_scale, rotation)
+
+    def __call__(self, z_freq: jax.Array) -> jax.Array:
+        # z·(m·e^{ir}) == polar(|z|·m, arg(z)+r), without the NaN-prone
+        # magnitude/phase decomposition of the reference at exact zeros
+        return z_freq * self.multiplier(z_freq.shape[1])[None]
 
 
 class SpectralLayerNorm(nn.Module):
@@ -140,6 +147,12 @@ class FrequencyNativeBlock(nn.Module):
     transition_bins: int
     dropout: float = 0.1
     ffn_mult: int = 2  # kept for constructor parity; SpectralFFN uses expansion=2
+    # project the gated kernel spectrum onto its first n_fft-T taps (see
+    # models/backbone.py / ops/fftc.causal_filter_taps).  NOTE: the
+    # in-spectrum SpectralFFN below is nonlinear per bin and remains
+    # non-causal BY THE REFERENCE'S DESIGN — only the linear conv chain is
+    # causalized here.
+    causal_taps: bool = True
 
     @nn.compact
     def __call__(
@@ -170,16 +183,22 @@ class FrequencyNativeBlock(nn.Module):
 
         x_freq = rfft_time(x, n_fft)
         k_freq = kernel_rfft(kernel, n_fft)
-        y_freq = frequency_conv(x_freq, k_freq, gain)
 
         g_freq = jax.nn.sigmoid(gate_freq_logits[:fbins])
         g_ctx = jax.nn.sigmoid(
             nn.Dense(C, kernel_init=nn.initializers.zeros, bias_init=_gate_bias_init, name="gate_ctx")(pooled)
         )
-        y_freq = y_freq * g_freq[None, :, None] * g_ctx[:, None, :]
-
         mask = cutoff_mask(fbins, cutoff, self.transition_bins)
-        y_freq = y_freq * mask[None, :, None]
+        # fold gate+mask into the kernel spectrum so the whole linear chain
+        # can be tap-projected; diagonal multiplies commute
+        k_eff = k_freq * g_freq * mask
+        if self.causal_taps:
+            from spectral_tpu.ops.fftc import causal_filter_taps
+
+            k_eff = causal_filter_taps(k_eff, n_fft, n_fft - T)
+
+        y_freq = frequency_conv(x_freq, k_eff, gain)
+        y_freq = y_freq * g_ctx[:, None, :]
 
         # Frequency-native FFN residual — stays complex, no time roundtrip.
         ffn = SpectralFFN(C, max_freq_bins, expansion=2, dropout=self.dropout, name="ffn")

@@ -127,6 +127,30 @@ def cutoff_mask(
     return jnp.where(cutoff >= n_bins, jnp.ones((n_bins,), dtype=dtype), mask)
 
 
+def causal_filter_taps(h_rfft: jax.Array, n_fft: int, budget: int) -> jax.Array:
+    """Project a fused rFFT-domain filter onto its first ``budget`` time taps.
+
+    WHY (the reference's causality defect): the backbone's conv is "causal"
+    only while the effective kernel ``irfft(k̂·gate·mask)`` is short.  A
+    TRAINED per-bin gate (or the curriculum mask) spreads it over all n_fft
+    taps, and the circular conv's tail taps ``τ > n_fft - T`` wrap around
+    onto FUTURE positions — training learns to read tokens a few steps
+    ahead through that tail (measured: perturbing the last token moved past
+    logits by ~10 on a round-2 trained model), which makes eval loss
+    meaningless and generation garbage.  The reference
+    (train_fixed_full.py:497-563) has the same leak; this projection fixes
+    it: zeroing taps ``>= budget`` (with ``budget <= n_fft - T``) makes the
+    padded circular conv a TRUE causal linear conv for any gate values,
+    while keeping the gate's full expressivity on the first ``budget``
+    taps.  Cost: two length-n_fft transforms of the [F]-vector filter per
+    block per step — negligible.
+    """
+    g_eff = jnp.fft.irfft(h_rfft, n=n_fft, axis=0)
+    keep = (jnp.arange(n_fft) < budget).astype(g_eff.dtype)
+    keep = keep.reshape((n_fft,) + (1,) * (g_eff.ndim - 1))
+    return jnp.fft.rfft(g_eff * keep, axis=0)
+
+
 def causal_fft_conv(
     x: jax.Array,
     kernel: jax.Array,

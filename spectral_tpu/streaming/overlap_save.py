@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spectral_tpu.models.config import TrainConfig
-from spectral_tpu.ops.fftc import conv_n_fft
+from spectral_tpu.ops.fftc import causal_filter_taps, conv_n_fft
 from spectral_tpu.streaming.fir import _ffn, _layernorm
 
 
@@ -49,6 +49,7 @@ class OverlapSaveStream:
         self.cfg = cfg
         self.n_layers = cfg.n_layers
         self.kernel_len = cfg.kernel_len
+        self.causal_taps = getattr(cfg, "causal_taps", True)
         self.n_fft = conv_n_fft(cfg.seq_len, cfg.kernel_len)
         self.head_params = None if head_params is None else jax.tree.map(jnp.asarray, head_params)
         self.chunk = chunk
@@ -72,12 +73,14 @@ class OverlapSaveStream:
         x_freq = jnp.fft.rfft(x_pad, axis=1)
         k = jnp.pad(bp["kernel"], (0, n_fft - self.kernel_len))
         k_freq = jnp.fft.rfft(k)
-        y_freq = x_freq * k_freq[None, :, None] * bp["gain"][None, None, :].astype(jnp.complex64)
-
         g_freq = jax.nn.sigmoid(bp["gate_freq_logits"][:fbins])
+        hfil = k_freq * g_freq
+        if self.causal_taps:  # must mirror training (models/backbone.py)
+            hfil = causal_filter_taps(hfil, n_fft, n_fft - T)
+
         pooled = jnp.mean(ln_in, axis=1)
         g_ctx = jax.nn.sigmoid(pooled @ bp["gate_ctx"]["kernel"] + bp["gate_ctx"]["bias"])
-        y_freq = y_freq * g_freq[None, :, None] * g_ctx[:, None, :]
+        y_freq = x_freq * hfil[None, :, None] * (bp["gain"][None, :] * g_ctx)[:, None, :]
 
         y = jnp.fft.irfft(y_freq, n=n_fft, axis=1)[:, :T, :]
         return _ffn(bp["ffn"], h + y), ln_in
@@ -131,13 +134,10 @@ class OverlapSaveStream:
         x_freq = jnp.fft.rfft(x_pad, axis=1)
         k = jnp.pad(bp["kernel"], (0, n_fft - K))
         k_freq = jnp.fft.rfft(k)
-        y_freq = (
-            x_freq
-            * k_freq[None, :, None]
-            * bp["gain"][None, None, :].astype(jnp.complex64)
-            * g_freq[None, :, None]
-            * g_ctx[:, None, :]
-        )
+        h = k_freq * g_freq
+        if self.causal_taps:  # must mirror training (models/backbone.py)
+            h = causal_filter_taps(h, n_fft, n_fft - T)
+        y_freq = x_freq * h[None, :, None] * (bp["gain"][None, :] * g_ctx)[:, None, :]
         y_pad = jnp.fft.irfft(y_freq, n=n_fft, axis=1)
         y_chunk = y_pad[:, T - B : T, :]  # outputs at the new (last B) positions
 

@@ -120,7 +120,11 @@ def copy_params_to_torch(flax_params, tmodel, n_layers):
 
 class TestLossCurveParity:
     def test_training_losses_track_torch(self):
+        # causal_taps=False: the torch oracle implements the reference
+        # equations verbatim (the production default diverges deliberately —
+        # see ops/fftc.causal_filter_taps)
         cfg = TrainConfig(
+            causal_taps=False,
             d_model=32, n_layers=2, seq_len=64, kernel_len=16, jpeg_transition=8,
             batch_size=4, dropout=0.0, lr=1e-3, weight_decay=0.0,
         )

@@ -63,6 +63,70 @@ class TestFixedSpectralBlock:
         np.testing.assert_allclose(logits1[:, :40], logits2[:, :40], atol=1e-4)
         assert not np.allclose(logits1[:, 40:], logits2[:, 40:], atol=1e-3)
 
+
+class TestTrainedGateCausality:
+    """THE round-2 defect fix.  The reference's conv is causal only while
+    the effective kernel irfft(k̂·gate·mask) is short; TRAINED per-bin gates
+    (or the curriculum mask) give it a circular tail whose taps wrap onto
+    FUTURE positions — a round-2 model trained without the fix reached
+    held-out loss 0.0067 by reading tokens a few steps ahead (perturbing the
+    last token moved past logits by ~10) while generating garbage.  With
+    causal_taps=True (the default) the filter is projected onto its first
+    n_fft-T taps, which makes the conv exactly causal for ANY gate values.
+    """
+
+    def _randomized(self, cfg, seed=0):
+        model = FixedSpectralLM(cfg)
+        x0 = jnp.zeros((1, cfg.seq_len), jnp.int32)
+        params = model.init(jax.random.PRNGKey(seed), x0)["params"]
+
+        # trained-like: spread the per-bin gate logits hard (this is what
+        # creates the wraparound tail)
+        def spread(path, leaf):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            if "gate_freq_logits" in name:
+                return leaf + 2.0 * jax.random.normal(jax.random.PRNGKey(11), leaf.shape)
+            if "kernel" == name.split("/")[-1] and leaf.ndim == 1:
+                return leaf + 0.1 * jax.random.normal(jax.random.PRNGKey(12), leaf.shape)
+            return leaf
+
+        return model, jax.tree_util.tree_map_with_path(spread, params)
+
+    def _leak(self, model, params, cfg, cutoff):
+        rng = np.random.default_rng(3)
+        x = rng.integers(0, 256, (1, cfg.seq_len)).astype(np.int32)
+        x2 = x.copy()
+        x2[0, -1] = (x2[0, -1] + 7) % 256  # perturb ONLY the last token
+        l1 = model.apply({"params": params}, jnp.asarray(x), cutoff=cutoff, deterministic=True)
+        l2 = model.apply({"params": params}, jnp.asarray(x2), cutoff=cutoff, deterministic=True)
+        return float(jnp.max(jnp.abs(l1[0, :-1] - l2[0, :-1])))
+
+    @pytest.mark.parametrize("variant", ["standard", "bicameral"])
+    def test_causal_taps_kills_the_leak(self, variant):
+        kw = {"bicameral": True} if variant == "bicameral" else {}
+        cfg_fix = tiny_cfg(causal_taps=True, **kw)
+        cfg_ref = tiny_cfg(causal_taps=False, **kw)
+        m_fix, p = self._randomized(cfg_fix)
+        m_ref = FixedSpectralLM(cfg_ref)
+        cutoff = jnp.int32(24)  # curriculum mask active: also a tail source
+        leak_ref = self._leak(m_ref, p, cfg_ref, cutoff)
+        leak_fix = self._leak(m_fix, p, cfg_fix, cutoff)
+        assert leak_ref > 1e-4, f"reference equations show no leak ({leak_ref:.2e})?"
+        assert leak_fix < 1e-4, f"causal_taps left a future leak of {leak_fix:.2e}"
+
+    def test_effective_kernel_unchanged_when_short(self):
+        """With a saturated/uniform gate and no mask the projection is a
+        no-op: the fixed and reference blocks agree to float tolerance."""
+        cfg_fix = tiny_cfg(causal_taps=True)
+        cfg_ref = tiny_cfg(causal_taps=False)
+        model_fix = FixedSpectralLM(cfg_fix)
+        model_ref = FixedSpectralLM(cfg_ref)
+        x = jnp.asarray(np.random.default_rng(4).integers(0, 256, (1, 64)).astype(np.int32))
+        params = model_fix.init(jax.random.PRNGKey(0), x)["params"]
+        y_fix = model_fix.apply({"params": params}, x, deterministic=True)
+        y_ref = model_ref.apply({"params": params}, x, deterministic=True)
+        np.testing.assert_allclose(np.asarray(y_fix), np.asarray(y_ref), atol=2e-4)
+
     def test_cutoff_traced_no_recompile(self):
         cfg = tiny_cfg()
         model = FixedSpectralLM(cfg)
@@ -159,7 +223,13 @@ class TestTorchGoldenParity:
         B, T, C, K, TRANS = 2, 64, 32, 16, 8
         x_np = rng.standard_normal((B, T, C)).astype(np.float32)
 
-        blk = FixedSpectralBlock(d_model=C, seq_len=T, kernel_len=K, transition_bins=TRANS, dropout=0.0)
+        # causal_taps=False: the golden oracle implements the REFERENCE
+        # equations verbatim, which include the circular-tail leak the
+        # production default fixes (see TestTrainedGateCausality)
+        blk = FixedSpectralBlock(
+            d_model=C, seq_len=T, kernel_len=K, transition_bins=TRANS, dropout=0.0,
+            causal_taps=False,
+        )
         params = blk.init(jax.random.PRNGKey(3), jnp.asarray(x_np))
         # randomize params so the test is not trivially identity
         leaves, treedef = jax.tree.flatten(params)
