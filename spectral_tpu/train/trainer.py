@@ -156,6 +156,10 @@ def train(cfg: TrainConfig, *, resume: bool = False, no_sawtooth: bool = False,
 
         mesh = make_mesh(dp=cfg.mesh_dp, sp=cfg.mesh_sp, tp=cfg.mesh_tp)
         log(f"Mesh: dp={cfg.mesh_dp} sp={cfg.mesh_sp} tp={cfg.mesh_tp} over {n_mesh} devices")
+        if cfg.mesh_sp > 1:
+            # mesh-wired model: the conv routes through the Ulysses
+            # all-to-all under sp (same params, different comm pattern)
+            model = FixedSpectralLM(cfg, mesh=mesh)
         params = shard_params(params, mesh)
         opt_state = tx.init(params)
         train_step, opt_state = make_sharded_train_step(model, cfg, tx, mesh)(params, opt_state)
