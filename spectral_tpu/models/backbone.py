@@ -155,7 +155,12 @@ class FixedSpectralBlock(nn.Module):
         # applied to the time-domain output.
         h_fused = k_freq * g_freq * mask  # [F] complex
         if self.causal_taps:
-            h_fused = causal_filter_taps(h_fused, n_fft, n_fft - T)
+            # budget follows the VALID length: with a traced ``length`` the
+            # zero-padded buffer projects the filter exactly as the length-L
+            # window would (fftc.causal_filter_taps), keeping the bucketed
+            # generation path bit-identical to the exact-window forward.
+            budget = (n_fft - T) if length is None else (jnp.int32(n_fft) - length)
+            h_fused = causal_filter_taps(h_fused, n_fft, budget)
 
         use_sp = self.mesh is not None and self.mesh.shape.get(self.sp_axis, 1) > 1
         if use_sp:

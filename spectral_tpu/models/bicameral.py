@@ -107,7 +107,9 @@ class BicameralBlock(nn.Module):
         if self.causal_taps:
             from spectral_tpu.ops.fftc import causal_filter_taps
 
-            h_eff = causal_filter_taps(h_eff, n_fft, n_fft - T)
+            # budget follows the valid length (see models/backbone.py)
+            budget = (n_fft - T) if length is None else (jnp.int32(n_fft) - length)
+            h_eff = causal_filter_taps(h_eff, n_fft, budget)
 
         y_freq = x_freq * h_eff[None]
         y_freq = y_freq * (gain_freq[None, :] * g_ctx)[:, None, :]

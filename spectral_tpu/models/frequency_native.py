@@ -195,7 +195,9 @@ class FrequencyNativeBlock(nn.Module):
         if self.causal_taps:
             from spectral_tpu.ops.fftc import causal_filter_taps
 
-            k_eff = causal_filter_taps(k_eff, n_fft, n_fft - T)
+            # budget follows the valid length (see models/backbone.py)
+            budget = (n_fft - T) if length is None else (jnp.int32(n_fft) - length)
+            k_eff = causal_filter_taps(k_eff, n_fft, budget)
 
         y_freq = frequency_conv(x_freq, k_eff, gain)
         y_freq = y_freq * g_ctx[:, None, :]

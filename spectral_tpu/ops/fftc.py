@@ -127,7 +127,7 @@ def cutoff_mask(
     return jnp.where(cutoff >= n_bins, jnp.ones((n_bins,), dtype=dtype), mask)
 
 
-def causal_filter_taps(h_rfft: jax.Array, n_fft: int, budget: int) -> jax.Array:
+def causal_filter_taps(h_rfft: jax.Array, n_fft: int, budget) -> jax.Array:
     """Project a fused rFFT-domain filter onto its first ``budget`` time taps.
 
     WHY (the reference's causality defect): the backbone's conv is "causal"
@@ -144,6 +144,12 @@ def causal_filter_taps(h_rfft: jax.Array, n_fft: int, budget: int) -> jax.Array:
     while keeping the gate's full expressivity on the first ``budget``
     taps.  Cost: two length-n_fft transforms of the [F]-vector filter per
     block per step — negligible.
+
+    ``budget`` may be a TRACED scalar (the keep mask is branchless): the
+    generation path passes ``n_fft - length`` so a zero-padded fixed buffer
+    with a traced valid ``length`` projects the filter EXACTLY as the
+    length-L window would (with the suffix zeroed, taps up to ``n_fft - L``
+    wrap onto the zero region, so the larger traced budget stays causal).
     """
     g_eff = jnp.fft.irfft(h_rfft, n=n_fft, axis=0)
     keep = (jnp.arange(n_fft) < budget).astype(g_eff.dtype)
