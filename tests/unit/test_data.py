@@ -81,3 +81,38 @@ class TestWindowedChunkDataset:
         ds = D.WindowedChunkDataset(corpus, seq_len=128, chunk_size=64, overlap=16)
         assert ds.stride == 48
         assert ds.num_chunks == (8192 - 128 - 64) // 48
+
+
+class TestBuildCodeCorpus:
+    """scripts.build_code_corpus — the in-image larger-corpus builder."""
+
+    def test_splits_are_disjoint_and_reproducible(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        src = tmp_path / "src"
+        src.mkdir()
+        for i in range(90):
+            (src / f"mod_{i:03d}.py").write_text(
+                f"# module {i}\n" + f"def f_{i}(x):\n    return x + {i}\n" * 12
+            )
+        out = tmp_path / "corpus"
+        cmd = [
+            sys.executable, "-m", "scripts.build_code_corpus",
+            "--roots", str(src), "--out", str(out),
+        ]
+        subprocess.run(cmd, check=True, cwd="/root/repo")
+        train = (out / "train.txt").read_text()
+        valid = (out / "valid.txt").read_text()
+        test = (out / "test.txt").read_text()
+        assert train and valid and test
+        manifest = json.loads((out / "MANIFEST.json").read_text())
+        # file-level splits: no eval file's body appears in train
+        for path, info in manifest["files"].items():
+            body = open(path).read()
+            if info["split"] != "train":
+                assert body not in train
+        # deterministic: a second run writes identical bytes
+        subprocess.run(cmd, check=True, cwd="/root/repo")
+        assert (out / "train.txt").read_text() == train
