@@ -110,7 +110,12 @@ def bench_train_step(iters: int = 40, use_pallas: bool = False):
     import numpy as np
 
     from spectral_tpu.models.config import TrainConfig
-    from spectral_tpu.train.trainer import init_model, make_optimizer, make_train_step
+    from spectral_tpu.train.trainer import (
+        dropout_key,
+        init_model,
+        make_optimizer,
+        make_train_step,
+    )
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = TrainConfig(
@@ -139,7 +144,7 @@ def bench_train_step(iters: int = 40, use_pallas: bool = False):
     ]
     cutoff = jnp.int32(512)
     lr = jnp.float32(2e-4)
-    key = jax.random.PRNGKey(0)
+    key = dropout_key(cfg, 0)
 
     # whole timing loop inside ONE jit program (tunnel RTT + value-cache
     # hygiene — same methodology as bench_spectral_mix; the carry is the

@@ -2,9 +2,13 @@
 
 Attributes the per-layer train-step cost (experiments/profile_train_step.py
 measured ~18 ms/layer/optimizer-step = ~2.3 ms/layer/micro-batch fwd+bwd)
-between the spectral conv branch, the FFN branch, LayerNorms/gates, and
-dropout — each timed as fwd+bwd through value_and_grad with the bench.py
-fori_loop methodology.
+between the spectral conv branch, the FFN branch, param-grad paths, and
+dropout — each timed as fwd+bwd through value_and_grad over (params, x)
+with the bench.py fori_loop methodology.
+
+Round-2 session findings (v5e, DEFAULT matfft precision, B4/T1024/C512):
+  * grads wrt x only:   block 0.92 ms (no dropout) / 1.38 ms (dropout 0.1)
+  * dropout alone is ~0.46 ms/block/micro — threefry bits are VPU-expensive.
 
 Usage:  python -m experiments.profile_block [--iters 50]
 """
@@ -13,35 +17,35 @@ from __future__ import annotations
 
 import argparse
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import linen as nn
 
 
-def marginal_ms(fn, args, iters):
-    """Time fn(*args) inside one fori_loop jit program; marginal ms/iter."""
+def marginal_ms(fn, x, iters, extra_args=()):
+    """Time fn(x, *extra_args) inside one fori_loop jit; marginal ms/iter.
 
-    def loop(x, n):
+    ``extra_args`` ride as jit ARGUMENTS (complex operands must be passed
+    this way — a complex closure constant is value-fetched at trace time and
+    dies on this backend)."""
+
+    def loop(x, extra, n):
         def body(i, c):
-            y = fn(c, *args[1:])
-            # renormalize so the carry never reaches a fixed point
+            y = fn(c, *extra)
             return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-12)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x))
 
-    run = jax.jit(loop, static_argnums=1)
-    x = args[0]
-    float(run(x, 1))
-    float(run(x, iters))
+    run = jax.jit(loop, static_argnums=2)
+    float(run(x, extra_args, 1))
+    float(run(x, extra_args, iters))
 
     def timed(n, reps=2):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(run(x, n))
+            float(run(x, extra_args, n))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -65,116 +69,133 @@ def main():
     B, T, C = args.batch, args.seq, args.dim
     x = jax.random.normal(jax.random.PRNGKey(0), (B, T, C), jnp.float32)
     cutoff = jnp.int32(512)
-
-    def grad_through(apply_fn, params):
-        """fwd+bwd closure: scalar loss -> grads wrt params AND x."""
-
-        def loss(x):
-            y = apply_fn(params, x)
-            return y, None
-
-        def f(x):
-            y = apply_fn(params, x)
-            return jnp.sum(y * y)
-
-        def fwdbwd(x):
-            l, gx = jax.value_and_grad(f)(x)
-            return gx + l  # fold the scalar in so nothing is DCE'd
-
-        return fwdbwd
-
     results = {}
 
-    # --- full block, matmul backend, with/without dropout -------------------
-    for name, drop, det in [
-        ("block fwd+bwd (dropout 0.1)", 0.1, False),
-        ("block fwd+bwd (no dropout)", 0.0, True),
-    ]:
+    def report(name, ms):
+        results[name] = ms
+        print(f"{name:52s} {ms:7.3f} ms", flush=True)
+
+    def block_case(name, drop, det, wrt_params, rng_impl=None):
         blk = FixedSpectralBlock(
             d_model=C, seq_len=T, kernel_len=args.kernel, transition_bins=16,
             dropout=drop, fft_backend="matmul", fft_precision="default",
         )
+        if rng_impl is not None:
+            dkey = jax.random.key(3, impl=rng_impl)
+        else:
+            dkey = jax.random.PRNGKey(3)
         params = blk.init(
-            {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
-            x, cutoff, det,
+            {"params": jax.random.PRNGKey(1), "dropout": dkey}, x, cutoff, det
         )
 
-        def apply_fn(p, xx, blk=blk, det=det):
+        def apply_fn(p, xx):
             return blk.apply(
-                p, xx, cutoff, det,
-                rngs=None if det else {"dropout": jax.random.PRNGKey(3)},
+                p, xx, cutoff, det, rngs=None if det else {"dropout": dkey}
             )
 
-        results[name] = marginal_ms(grad_through(apply_fn, params), (x,), args.iters)
-        print(f"{name:48s} {results[name]:7.3f} ms", flush=True)
+        if wrt_params:
 
-    # --- block forward only --------------------------------------------------
-    blk = FixedSpectralBlock(
-        d_model=C, seq_len=T, kernel_len=args.kernel, transition_bins=16,
-        dropout=0.0, fft_backend="matmul", fft_precision="default",
-    )
-    params = blk.init(jax.random.PRNGKey(1), x, cutoff, True)
-    fwd = lambda xx: blk.apply(params, xx, cutoff, True)
-    results["block fwd only"] = marginal_ms(fwd, (x,), args.iters)
-    print(f"{'block fwd only':48s} {results['block fwd only']:7.3f} ms", flush=True)
+            def f(p, xx):
+                y = apply_fn(p, xx)
+                return jnp.sum(y * y)
 
-    # --- FFN branch alone -----------------------------------------------------
+            def fwdbwd(xx):
+                l, (gp, gx) = jax.value_and_grad(f, argnums=(0, 1))(params, xx)
+                # fold every grad magnitude in so nothing is DCE'd
+                acc = sum(jnp.sum(jnp.abs(t)) for t in jax.tree.leaves(gp))
+                return gx + l + acc
+        else:
+
+            def f(xx):
+                y = apply_fn(params, xx)
+                return jnp.sum(y * y)
+
+            def fwdbwd(xx):
+                l, gx = jax.value_and_grad(f)(xx)
+                return gx + l
+
+        report(name, marginal_ms(fwdbwd, x, args.iters))
+
+    block_case("block d(x) only, no dropout", 0.0, True, False)
+    block_case("block d(params,x), no dropout", 0.0, True, True)
+    block_case("block d(params,x), dropout 0.1 (threefry)", 0.1, False, True)
+    try:
+        block_case("block d(params,x), dropout 0.1 (rbg prng)", 0.1, False, True, rng_impl="rbg")
+    except Exception as e:
+        print(f"rbg prng case failed: {e}")
+
+    # --- block with the direct toeplitz backend ------------------------------
+    def block_direct_case(name, drop, det):
+        blk = FixedSpectralBlock(
+            d_model=C, seq_len=T, kernel_len=args.kernel, transition_bins=16,
+            dropout=drop, fft_backend="direct", fft_precision="default",
+        )
+        dkey = jax.random.key(3, impl="rbg")
+        params = blk.init({"params": jax.random.PRNGKey(1), "dropout": dkey}, x, cutoff, det)
+
+        def f(p, xx):
+            y = blk.apply(p, xx, cutoff, det, rngs=None if det else {"dropout": dkey})
+            return jnp.sum(y * y)
+
+        def fwdbwd(xx):
+            l, (gp, gx) = jax.value_and_grad(f, argnums=(0, 1))(params, xx)
+            acc = sum(jnp.sum(jnp.abs(t)) for t in jax.tree.leaves(gp))
+            return gx + l + acc
+
+        report(name, marginal_ms(fwdbwd, x, args.iters))
+
+    block_direct_case("block DIRECT d(params,x), no dropout", 0.0, True)
+    block_direct_case("block DIRECT d(params,x), rbg dropout", 0.1, False)
+
+    # --- FFN branch with param grads ----------------------------------------
     ffn = SpectralFFNTime(C, 2, 0.0)
     fparams = ffn.init(jax.random.PRNGKey(1), x, True)
-    fapply = lambda p, xx: ffn.apply(p, xx, True)
-    results["ffn fwd+bwd"] = marginal_ms(grad_through(fapply, fparams), (x,), args.iters)
-    print(f"{'ffn fwd+bwd':48s} {results['ffn fwd+bwd']:7.3f} ms", flush=True)
 
-    # --- conv via spectral_conv_matmul alone ---------------------------------
+    def ffn_f(p, xx):
+        y = ffn.apply(p, xx, True)
+        return jnp.sum(y * y)
+
+    def ffn_fb(xx):
+        l, (gp, gx) = jax.value_and_grad(ffn_f, argnums=(0, 1))(fparams, xx)
+        acc = sum(jnp.sum(jnp.abs(t)) for t in jax.tree.leaves(gp))
+        return gx + l + acc
+
+    report("ffn d(params,x)", marginal_ms(ffn_fb, x, args.iters))
+
+    # --- conv via spectral_conv_matmul, d(kernel, x) -------------------------
     from spectral_tpu.ops.fftc import conv_n_fft, kernel_rfft
     from spectral_tpu.ops.matfft import spectral_conv_matmul
 
     n_fft = conv_n_fft(T, args.kernel)
     kern = jax.random.normal(jax.random.PRNGKey(4), (args.kernel,)) * 0.01
-    h = kernel_rfft(kern, n_fft)
 
-    def conv_fb(xx):
-        def f(xx):
-            y = spectral_conv_matmul(
-                jnp.swapaxes(xx, 1, 2), h, n_fft, precision=jax.lax.Precision.DEFAULT
-            )
-            return jnp.sum(y * y)
-
-        l, g = jax.value_and_grad(f)(xx)
-        return g + l
-
-    results["conv (matmul fft) fwd+bwd"] = marginal_ms(conv_fb, (x,), args.iters)
-    print(f"{'conv (matmul fft) fwd+bwd':48s} {results['conv (matmul fft) fwd+bwd']:7.3f} ms", flush=True)
-
-    def conv_fwd(xx):
+    def conv_f(kern, xx):
+        h = kernel_rfft(kern, n_fft)  # complex built IN-graph from a real arg
         y = spectral_conv_matmul(
             jnp.swapaxes(xx, 1, 2), h, n_fft, precision=jax.lax.Precision.DEFAULT
         )
-        return jnp.swapaxes(y, 1, 2)
+        return jnp.sum(y * y)
 
-    results["conv (matmul fft) fwd only"] = marginal_ms(conv_fwd, (x,), args.iters)
-    print(f"{'conv (matmul fft) fwd only':48s} {results['conv (matmul fft) fwd only']:7.3f} ms", flush=True)
+    def conv_fb(xx, kern):
+        l, (gk, gx) = jax.value_and_grad(conv_f, argnums=(0, 1))(kern, xx)
+        return gx + l + jnp.sum(jnp.abs(gk))
 
-    # --- xla fft conv for contrast -------------------------------------------
-    from spectral_tpu.ops.fftc import irfft_time, rfft_time
+    report("conv(matmul) d(kernel,x)", marginal_ms(conv_fb, x, args.iters, (kern,)))
 
-    def conv_xla_fb(xx):
-        def f(xx):
-            xf = rfft_time(xx, n_fft)
-            yf = xf * h[None, :, None]
-            y = irfft_time(yf, n_fft, T)
-            return jnp.sum(y * y)
+    def conv_fb_x(xx, kern):
+        l, gx = jax.value_and_grad(conv_f, argnums=1)(kern, xx)
+        return gx + l
 
-        l, g = jax.value_and_grad(f)(xx)
-        return g + l
+    report("conv(matmul) d(x) only", marginal_ms(conv_fb_x, x, args.iters, (kern,)))
 
-    results["conv (xla fft) fwd+bwd"] = marginal_ms(conv_xla_fb, (x,), args.iters)
-    print(f"{'conv (xla fft) fwd+bwd':48s} {results['conv (xla fft) fwd+bwd']:7.3f} ms", flush=True)
-
-    blk_total = results["block fwd+bwd (no dropout)"]
-    known = results["ffn fwd+bwd"] + results["conv (matmul fft) fwd+bwd"]
-    print(f"\nblock(no dropout) {blk_total:.3f} = conv {results['conv (matmul fft) fwd+bwd']:.3f}"
-          f" + ffn {results['ffn fwd+bwd']:.3f} + other {blk_total - known:.3f} ms")
+    blk_total = results.get("block d(params,x), no dropout", float("nan"))
+    known = results.get("ffn d(params,x)", 0) + results.get("conv(matmul) d(kernel,x)", 0)
+    print(
+        f"\nblock(no dropout, full grads) {blk_total:.3f} = "
+        f"conv {results.get('conv(matmul) d(kernel,x)', 0):.3f}"
+        f" + ffn {results.get('ffn d(params,x)', 0):.3f}"
+        f" + other {blk_total - known:.3f} ms"
+    )
 
 
 if __name__ == "__main__":

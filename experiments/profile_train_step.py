@@ -21,10 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed_step(step, params, opt_state, bx, by, iters):
+def timed_step(step, params, opt_state, bx, by, iters, key=None):
     cutoff = jnp.int32(512)
     lr = jnp.float32(2e-4)
-    key = jax.random.PRNGKey(0)
+    if key is None:
+        key = jax.random.PRNGKey(0)
 
     def loop(params, opt_state, bx, by, n):
         def body(i, carry):
@@ -58,7 +59,12 @@ def main():
 
     from spectral_tpu.models.config import TrainConfig
     from spectral_tpu.ops import matfft
-    from spectral_tpu.train.trainer import init_model, make_optimizer, make_train_step
+    from spectral_tpu.train.trainer import (
+        dropout_key,
+        init_model,
+        make_optimizer,
+        make_train_step,
+    )
 
     matfft.set_precision(
         jax.lax.Precision.DEFAULT if args.precision == "default" else jax.lax.Precision.HIGHEST
@@ -74,7 +80,7 @@ def main():
         shape = (cfg.accum_steps, cfg.batch_size, cfg.seq_len)
         bx = jnp.asarray(rng.integers(0, 256, shape).astype(np.int32))
         by = jnp.asarray(rng.integers(0, 256, shape).astype(np.int32))
-        return step, params, opt_state, bx, by
+        return (step, params, opt_state, bx, by), dropout_key(cfg, 0)
 
     base = dict(
         d_model=512, n_layers=6, seq_len=1024, kernel_len=128,
@@ -82,10 +88,14 @@ def main():
     )
 
     variants = [
-        ("full step (matmul fft)", base),
-        ("full step (bf16 compute_dtype)", {**base, "compute_dtype": "bfloat16"}),
+        ("full step, DIRECT toeplitz conv (rbg)", {**base, "fft_backend": "direct"}),
+        ("full step, DIRECT + bf16 compute", {**base, "fft_backend": "direct", "compute_dtype": "bfloat16"}),
+        ("full step (rbg dropout)", base),
+        ("full step (threefry dropout)", {**base, "dropout_prng": "threefry2x32"}),
+        ("full step (no dropout)", {**base, "dropout": 0.0}),
+        ("flat accum=1 batch=32 (rbg)", {**base, "accum_steps": 1, "batch_size": 32}),
+        ("full step (bf16 compute_dtype, rbg)", {**base, "compute_dtype": "bfloat16"}),
         ("0 layers (embed+logits+opt only)", {**base, "n_layers": 0}),
-        ("3 layers", {**base, "n_layers": 3}),
     ]
 
     results = {}
@@ -93,15 +103,14 @@ def main():
         if kw is None:
             continue
         cfg = TrainConfig(**kw)
-        dt = timed_step(*build(cfg), iters=args.iters)
+        built, key = build(cfg)
+        dt = timed_step(*built, iters=args.iters, key=key)
         results[name] = dt * 1e3
         print(f"{name:45s} {dt*1e3:7.2f} ms/step", flush=True)
 
-    if "full step (matmul fft)" in results and "3 layers" in results and "0 layers (embed+logits+opt only)" in results:
-        per_layer = (results["full step (matmul fft)"] - results["0 layers (embed+logits+opt only)"]) / 6
-        per_layer_36 = results["full step (matmul fft)"] - results["3 layers"]
-        print(f"\nper-layer cost (6-layer vs 0-layer)/6 : {per_layer:.2f} ms")
-        print(f"per-layer cost (6 vs 3)/3             : {per_layer_36/3:.2f} ms")
+    if "full step (rbg dropout)" in results and "0 layers (embed+logits+opt only)" in results:
+        per_layer = (results["full step (rbg dropout)"] - results["0 layers (embed+logits+opt only)"]) / 6
+        print(f"\nper-layer cost ((6-layer - 0-layer)/6): {per_layer:.2f} ms")
         print(f"fixed cost (embed+logits+loss+opt)    : {results['0 layers (embed+logits+opt only)']:.2f} ms")
 
 

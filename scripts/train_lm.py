@@ -47,7 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frequency-native", action="store_true")
     p.add_argument("--bicameral", action="store_true")
     p.add_argument("--compute-dtype", type=str, default=None, choices=["float32", "bfloat16"])
-    p.add_argument("--fft-backend", type=str, default=None, choices=["xla", "matmul"])
+    p.add_argument("--fft-backend", type=str, default=None, choices=["xla", "matmul", "direct"])
     p.add_argument("--fft-precision", type=str, default=None, choices=["highest", "default"])
     p.add_argument("--mesh-dp", type=int, default=None, help="data-parallel mesh axis size")
     p.add_argument("--mesh-sp", type=int, default=None, help="sequence-parallel mesh axis size")

@@ -188,6 +188,24 @@ class FixedSpectralBlock(nn.Module):
 
             scale = gain[None, :] * g_ctx  # [B, C]
             y = fused_spectral_conv(x, h_fused, scale, n_fft)
+        elif self.fft_backend == "direct":
+            # Fastest training path on TPU (v5e: ~7x the matmul-FFT conv at
+            # the flagship shape): materialize the (T, T) Toeplitz filter
+            # matrix once per step — it depends only on (params, cutoff), so
+            # XLA hoists it out of the grad-accumulation scan — and run the
+            # conv as ONE full-utilization MXU matmul.  Identical math to
+            # the XLA branch for both causal_taps settings (the mod-n_fft
+            # construction reproduces the circular wrap exactly).
+            from spectral_tpu.ops.toeplitz import spectral_conv_direct
+
+            scale = gain[None, :] * g_ctx  # [B, C]
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if self.fft_precision == "highest"
+                else jax.lax.Precision.DEFAULT
+            )
+            y = spectral_conv_direct(x, h_fused, n_fft, precision=prec)
+            y = y * scale[:, None, :]
         elif self.fft_backend == "matmul":
             # MXU path: both transforms as batched DFT matmuls (T-minor
             # layout), real per-channel scales folded after — identical math

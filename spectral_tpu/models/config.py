@@ -79,6 +79,12 @@ class TrainConfig:
     # rematerialize block activations in backward (memory for FLOPs — the
     # long-context lever; jax.checkpoint per block)
     remat: bool = False
+    # PRNG implementation for dropout keys: "rbg" uses the TPU's hardware
+    # RNG and makes dropout ~free; "threefry2x32" (JAX's default) costs
+    # ~0.58 ms/block/micro-batch at the flagship shape — 35% of the block's
+    # fwd+bwd (experiments/profile_block.py, v5e).  Dropout needs no
+    # counter-based-PRNG guarantees, so rbg is the training default.
+    dropout_prng: str = "rbg"
     # checkpointing
     ckpt_path: str = "fixed_spectral_ckpt.msgpack"
     save_every_epochs: int = 5

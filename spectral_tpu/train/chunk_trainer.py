@@ -54,7 +54,7 @@ from spectral_tpu.train.ckpt import (
 )
 from spectral_tpu.train.data import load_corpus_as_u8, sample_chunk_batch
 from spectral_tpu.train.evaluate import cross_entropy
-from spectral_tpu.train.trainer import TrainState, count_params, make_optimizer
+from spectral_tpu.train.trainer import TrainState, count_params, dropout_key, make_optimizer
 
 
 HEADS = ("chunk", "phase_clock", "dual", "segmentation")
@@ -245,7 +245,7 @@ def train_chunk(
                     jnp.asarray(aux),
                     jnp.int32(cutoff),
                     jnp.float32(lr_now),
-                    jax.random.PRNGKey(np_rng.integers(2**31)),
+                    dropout_key(cfg, int(np_rng.integers(2**31))),
                 )
                 li = float(total)
                 losses.append(li)
