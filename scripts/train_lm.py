@@ -99,15 +99,21 @@ def cfg_from_args(args: argparse.Namespace) -> TrainConfig:
     if args.bicameral:
         overrides["bicameral"] = True
 
-    # TPU defaults (only when the flags weren't given): the MXU matmul FFT in
-    # bf16 fast mode — corpus-level loss-curve parity with the fp32-accurate
-    # mode was validated in round 1 (BENCHMARKS.md "bf16 fast mode"), and the
+    # TPU defaults (only when the flags weren't given).  The direct Toeplitz
+    # conv + bf16 compute is the fastest measured training path (42.1 ms vs
+    # 90.0 ms matmul-fp32 at the flagship accum recipe — BENCHMARKS.md
+    # "flagship accum-config profile") and its descent matches matmul-fp32
+    # on the real corpus (experiments/backend_descent_check.py).  The
     # reference itself trains under AMP (train_fixed_full.py:822,929).
+    # The Toeplitz matmul is O(T^2) — beyond seq 2048 the FFT's O(T log T)
+    # wins back, so long-sequence runs fall back to the matmul-FFT backend.
     import jax
 
     if jax.default_backend() == "tpu":
-        overrides.setdefault("fft_backend", "matmul")
+        seq = overrides.get("seq_len", TrainConfig.seq_len)
+        overrides.setdefault("fft_backend", "direct" if seq <= 2048 else "matmul")
         overrides.setdefault("fft_precision", "default")
+        overrides.setdefault("compute_dtype", "bfloat16")
     return TrainConfig(**overrides)
 
 

@@ -189,13 +189,16 @@ class FixedSpectralBlock(nn.Module):
             scale = gain[None, :] * g_ctx  # [B, C]
             y = fused_spectral_conv(x, h_fused, scale, n_fft)
         elif self.fft_backend == "direct":
-            # Fastest training path on TPU (v5e: ~7x the matmul-FFT conv at
-            # the flagship shape): materialize the (T, T) Toeplitz filter
-            # matrix once per step — it depends only on (params, cutoff), so
-            # XLA hoists it out of the grad-accumulation scan — and run the
-            # conv as ONE full-utilization MXU matmul.  Identical math to
-            # the XLA branch for both causal_taps settings (the mod-n_fft
-            # construction reproduces the circular wrap exactly).
+            # Fastest training path on TPU (v5e flagship accum recipe:
+            # 48.8 ms/step vs 90.0 matmul-FFT, 42.1 with bf16 compute —
+            # experiments/profile_train_step.py): materialize the (T, T)
+            # Toeplitz filter matrix once per step — it depends only on
+            # (params, cutoff), so XLA hoists it out of the
+            # grad-accumulation scan — and run the conv as ONE
+            # full-utilization MXU matmul.  O(T^2), so past seq ~2048 the
+            # FFT backends win back.  Identical math to the XLA branch for
+            # both causal_taps settings (the mod-n_fft construction
+            # reproduces the circular wrap exactly).
             from spectral_tpu.ops.toeplitz import spectral_conv_direct
 
             scale = gain[None, :] * g_ctx  # [B, C]
