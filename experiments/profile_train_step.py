@@ -88,6 +88,8 @@ def main():
     )
 
     variants = [
+        ("FUSED whole-block Pallas + bf16", {**base, "use_fused_block": True, "compute_dtype": "bfloat16"}),
+        ("FUSED whole-block, no dropout", {**base, "use_fused_block": True, "compute_dtype": "bfloat16", "dropout": 0.0}),
         ("full step, DIRECT toeplitz conv (rbg)", {**base, "fft_backend": "direct"}),
         ("full step, DIRECT + bf16 compute", {**base, "fft_backend": "direct", "compute_dtype": "bfloat16"}),
         ("full step (rbg dropout)", base),

@@ -79,6 +79,13 @@ class TrainConfig:
     # rematerialize block activations in backward (memory for FLOPs — the
     # long-context lever; jax.checkpoint per block)
     remat: bool = False
+    # run each block as ONE VMEM-resident Pallas program (LN -> Toeplitz
+    # conv -> gates -> residual -> FFN fused; ops/pallas_block.py) in the
+    # training step — removes the ~15 per-block activation HBM round trips.
+    # Dropout moves to the in-kernel TPU PRNG (statistically equivalent,
+    # not bit-identical to the flax path).  Training-path only; eval and
+    # decode go through the canonical flax module.
+    use_fused_block: bool = False
     # PRNG implementation for dropout keys: "rbg" uses the TPU's hardware
     # RNG and makes dropout ~free; "threefry2x32" (JAX's default) costs
     # ~0.58 ms/block/micro-batch at the flagship shape — 35% of the block's

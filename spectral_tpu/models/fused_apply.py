@@ -1,0 +1,124 @@
+"""Param-tree-level forward of FixedSpectralLM through the fused Pallas block.
+
+``FixedSpectralLM`` (models/backbone.py) stays the canonical definition —
+init, eval, decode and checkpoints all speak its flax param tree.  This
+module re-expresses its forward as a pure function of that SAME tree so the
+training hot path can run each block as ONE VMEM-resident Pallas program
+(ops/pallas_block.py) instead of ~15 separate XLA fusions that round-trip
+the [B, T, C] activation through HBM.
+
+Value/grad parity with ``model.apply`` is gated in
+tests/unit/test_pallas_block.py; descent parity on the real corpus in
+experiments/backend_descent_check.py (--candidate-backend fused).
+
+Reference equations: fft_lm/train_fixed_full.py:497-618 (block + LM).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from spectral_tpu.models.config import TrainConfig
+from spectral_tpu.ops.fftc import (
+    causal_filter_taps,
+    conv_n_fft,
+    cutoff_mask,
+    kernel_rfft,
+)
+from spectral_tpu.ops.pallas_block import fused_block
+from spectral_tpu.ops.toeplitz import toeplitz_matrix
+
+# decorrelate per-layer dropout streams (Knuth multiplicative hash step)
+_LAYER_SEED_STRIDE = 2654435761
+
+
+def block_conv_matrix(
+    bp: dict, T: int, kernel_len: int, transition_bins: int,
+    cutoff: Optional[jax.Array], causal_taps: bool = True,
+) -> jax.Array:
+    """The (T, T) Toeplitz matrix of a block's fused causal filter.
+
+    Same filter chain as FixedSpectralBlock.__call__ (backbone.py:139-164):
+    k̂ · sigmoid(freq gate) · curriculum mask, causal-tap projection, then
+    the time-domain circulant restriction (ops/toeplitz.py).  Depends only
+    on (params, cutoff) — XLA hoists it out of per-microbatch scans.
+    """
+    n_fft = conv_n_fft(T, kernel_len)
+    fbins = n_fft // 2 + 1
+    k_freq = kernel_rfft(bp["kernel"], n_fft)
+    g_freq = jax.nn.sigmoid(bp["gate_freq_logits"][:fbins])
+    mask = cutoff_mask(fbins, cutoff, transition_bins)
+    h_fused = k_freq * g_freq * mask
+    if causal_taps:
+        h_fused = causal_filter_taps(h_fused, n_fft, jnp.int32(n_fft - T))
+    h_time = jnp.fft.irfft(h_fused, n=n_fft).astype(jnp.float32)
+    return toeplitz_matrix(h_time, T, n_fft)
+
+
+def fused_block_apply(
+    bp: dict, x: jax.Array, cutoff, *, kernel_len: int, transition_bins: int,
+    dropout: float = 0.0, seed=0, deterministic: bool = True,
+    causal_taps: bool = True, compute_dtype: str = "bfloat16",
+    interpret: bool = False,
+) -> jax.Array:
+    """One FixedSpectralBlock forward from its param subtree, fused."""
+    T = x.shape[1]
+    M = block_conv_matrix(bp, T, kernel_len, transition_bins, cutoff, causal_taps)
+    p = 0.0 if deterministic else dropout
+    return fused_block(
+        x, M, bp["ln"]["scale"], bp["ln"]["bias"],
+        bp["gate_ctx"]["kernel"], bp["gate_ctx"]["bias"], bp["gain"],
+        bp["ffn"]["ffn_ln"]["scale"], bp["ffn"]["ffn_ln"]["bias"],
+        bp["ffn"]["ffn_in"]["kernel"], bp["ffn"]["ffn_in"]["bias"],
+        bp["ffn"]["ffn_out"]["kernel"], bp["ffn"]["ffn_out"]["bias"],
+        jnp.asarray(seed, jnp.uint32), p, compute_dtype, interpret,
+    )
+
+
+def _layernorm(x, scale, bias, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean, 0.0)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def dropout_seed_from_key(rng: jax.Array) -> jax.Array:
+    """uint32 kernel-PRNG seed from a JAX PRNG key (any impl)."""
+    return jax.random.bits(rng, (), jnp.uint32)
+
+
+def fused_lm_apply(
+    params: dict, tokens: jax.Array, cfg: TrainConfig,
+    cutoff=None, deterministic: bool = True, rng: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """FixedSpectralLM logits from its param tree via the fused block kernel.
+
+    ``params``: the ``variables["params"]`` tree of FixedSpectralLM.
+    ``rng``: PRNG key for dropout (required when not deterministic).
+    """
+    emb = params["embed"]["embedding"]
+    h = emb[tokens]
+    if deterministic or cfg.dropout == 0.0:
+        seed = jnp.uint32(0)
+        det = True
+    else:
+        assert rng is not None, "rng required for dropout"
+        seed = dropout_seed_from_key(rng)
+        det = False
+    for i in range(cfg.n_layers):
+        bp = params[f"block_{i}"]
+        h = fused_block_apply(
+            bp, h, cutoff,
+            kernel_len=cfg.kernel_len, transition_bins=cfg.jpeg_transition,
+            dropout=cfg.dropout,
+            seed=seed + jnp.uint32((i * _LAYER_SEED_STRIDE) & 0xFFFFFFFF),
+            deterministic=det, causal_taps=cfg.causal_taps,
+            compute_dtype=cfg.compute_dtype, interpret=interpret,
+        )
+    h = _layernorm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
+    cdt = jnp.dtype(cfg.compute_dtype)
+    logits = h.astype(cdt) @ emb.T.astype(cdt)
+    return logits.astype(jnp.float32)

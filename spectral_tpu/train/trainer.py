@@ -97,15 +97,28 @@ def make_train_step(model, cfg: TrainConfig, tx) -> Callable:
     one dispatch covers a full optimizer step.
     """
 
-    def loss_fn(params, bx, by, cutoff, rng):
-        logits = model.apply(
-            {"params": params},
-            bx,
-            cutoff=cutoff,
-            deterministic=cfg.dropout == 0.0,
-            rngs=None if cfg.dropout == 0.0 else {"dropout": rng},
-        )
-        return cross_entropy(logits, by)
+    if cfg.use_fused_block:
+        # whole-block Pallas path (models/fused_apply.py): same param tree,
+        # one VMEM-resident program per block.  Parity gated in
+        # tests/unit/test_pallas_block.py.
+        from spectral_tpu.models.fused_apply import fused_lm_apply
+
+        def loss_fn(params, bx, by, cutoff, rng):
+            logits = fused_lm_apply(
+                params, bx, cfg, cutoff=cutoff,
+                deterministic=cfg.dropout == 0.0, rng=rng,
+            )
+            return cross_entropy(logits, by)
+    else:
+        def loss_fn(params, bx, by, cutoff, rng):
+            logits = model.apply(
+                {"params": params},
+                bx,
+                cutoff=cutoff,
+                deterministic=cfg.dropout == 0.0,
+                rngs=None if cfg.dropout == 0.0 else {"dropout": rng},
+            )
+            return cross_entropy(logits, by)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, bx, by, cutoff, lr, rng):

@@ -1,0 +1,165 @@
+"""Parity gates for the fused whole-block Pallas kernel (ops/pallas_block.py).
+
+Oracle: the canonical flax ``FixedSpectralBlock`` / ``FixedSpectralLM``
+(models/backbone.py — itself golden-tested against a fresh torch
+implementation of the reference equations).  Values AND gradients must match
+at fp32 accuracy in interpret mode (dropout=0; the dropout stream is
+documented as statistically-but-not-bitwise equivalent).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.models.backbone import FixedSpectralBlock, FixedSpectralLM
+from spectral_tpu.models.config import TrainConfig
+from spectral_tpu.models.fused_apply import fused_block_apply, fused_lm_apply
+from spectral_tpu.ops.pallas_block import fused_block
+from spectral_tpu.ops.toeplitz import toeplitz_matrix  # noqa: F401 (API surface)
+
+B, T, C, K = 2, 64, 32, 16
+TRANS = 8
+
+
+@pytest.fixture(scope="module")
+def block_setup():
+    blk = FixedSpectralBlock(
+        d_model=C, seq_len=T, kernel_len=K, transition_bins=TRANS,
+        dropout=0.0, fft_backend="direct", fft_precision="highest",
+        causal_taps=True,
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, T, C)).astype(np.float32))
+    cutoff = jnp.int32(20)
+    params = blk.init(jax.random.PRNGKey(1), x, cutoff, True)
+    return blk, x, cutoff, params
+
+
+def _fused_out(p, x, cutoff):
+    return fused_block_apply(
+        p, x, cutoff, kernel_len=K, transition_bins=TRANS,
+        deterministic=True, compute_dtype="float32", interpret=True,
+    )
+
+
+def test_forward_parity(block_setup):
+    blk, x, cutoff, params = block_setup
+    ref = blk.apply(params, x, cutoff, True)
+    out = _fused_out(params["params"], x, cutoff)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+
+def test_gradient_parity(block_setup):
+    blk, x, cutoff, params = block_setup
+
+    def loss_ref(pp, xx):
+        return jnp.sum(jnp.sin(blk.apply(pp, xx, cutoff, True)))
+
+    def loss_fused(pp, xx):
+        return jnp.sum(jnp.sin(_fused_out(pp, xx, cutoff)))
+
+    gp_r, gx_r = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    gp_f, gx_f = jax.grad(loss_fused, argnums=(0, 1))(params["params"], x)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=1e-4, atol=1e-6)
+    flat_r = jax.tree.leaves_with_path(gp_r["params"])
+    flat_f = dict(jax.tree.leaves_with_path(gp_f))
+    assert len(flat_r) == len(flat_f)
+    for path, leaf_r in flat_r:
+        leaf_f = flat_f[path]
+        np.testing.assert_allclose(
+            np.asarray(leaf_f), np.asarray(leaf_r), rtol=2e-4, atol=1e-6,
+            err_msg=str(path),
+        )
+
+
+def test_traced_cutoff_no_recompile(block_setup):
+    blk, x, cutoff, params = block_setup
+
+    @jax.jit
+    def f(p, x, cut):
+        return _fused_out(p, x, cut)
+
+    a = f(params["params"], x, jnp.int32(10))
+    b = f(params["params"], x, jnp.int32(30))
+    assert not np.allclose(np.asarray(a), np.asarray(b))  # cutoff matters
+    ref_b = blk.apply(params, x, jnp.int32(30), True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(ref_b), rtol=2e-5, atol=2e-6)
+
+
+@pytest.fixture(scope="module")
+def lm_setup():
+    cfg = TrainConfig(
+        vocab_size=64, d_model=C, n_layers=2, seq_len=T, kernel_len=K,
+        jpeg_transition=TRANS, dropout=0.0, compute_dtype="float32",
+        fft_backend="direct", fft_precision="highest",
+    )
+    model = FixedSpectralLM(cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(2), (B, T), 0, 64)
+    variables = model.init(jax.random.PRNGKey(0), toks)
+    return cfg, model, toks, variables
+
+
+def test_lm_parity(lm_setup):
+    cfg, model, toks, variables = lm_setup
+    cutoff = jnp.int32(24)
+    ref = model.apply(variables, toks, cutoff=cutoff, deterministic=True)
+    out = fused_lm_apply(variables["params"], toks, cfg, cutoff=cutoff,
+                         deterministic=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_lm_grad_parity(lm_setup):
+    cfg, model, toks, variables = lm_setup
+    cutoff = jnp.int32(24)
+    tgt = jax.random.randint(jax.random.PRNGKey(3), (B, T), 0, 64)
+
+    def ce(logits):
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(logits, tgt[..., None], axis=-1)[..., 0]
+        return jnp.mean(lse - picked)
+
+    def loss_ref(v):
+        return ce(model.apply(v, toks, cutoff=cutoff, deterministic=True))
+
+    def loss_fused(p):
+        return ce(fused_lm_apply(p, toks, cfg, cutoff=cutoff,
+                                 deterministic=True, interpret=True))
+
+    g_r = jax.grad(loss_ref)(variables)["params"]
+    g_f = jax.grad(loss_fused)(variables["params"])
+    flat_r = jax.tree.leaves_with_path(g_r)
+    flat_f = dict(jax.tree.leaves_with_path(g_f))
+    for path, leaf_r in flat_r:
+        np.testing.assert_allclose(
+            np.asarray(flat_f[path]), np.asarray(leaf_r), rtol=5e-4, atol=1e-6,
+            err_msg=str(path),
+        )
+
+
+def test_trainer_uses_fused_path(lm_setup):
+    """make_train_step(use_fused_block=True) descends and stays finite."""
+    import optax  # noqa: F401
+
+    from spectral_tpu.train.trainer import init_model, make_optimizer, make_train_step
+
+    cfg = TrainConfig(
+        vocab_size=64, d_model=C, n_layers=2, seq_len=T, kernel_len=K,
+        jpeg_transition=TRANS, dropout=0.0, compute_dtype="float32",
+        use_fused_block=True, batch_size=2, accum_steps=2,
+    )
+    model, params = init_model(cfg)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    step = make_train_step(model, cfg, tx)
+    rng = np.random.default_rng(0)
+    bx = jnp.asarray(rng.integers(0, 64, (2, 2, T)).astype(np.int32))
+    by = jnp.asarray(rng.integers(0, 64, (2, 2, T)).astype(np.int32))
+    losses = []
+    for i in range(4):
+        params, opt_state, loss = step(
+            params, opt_state, bx, by, jnp.int32(24), jnp.float32(3e-3),
+            jax.random.PRNGKey(i),
+        )
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
