@@ -100,11 +100,13 @@ def bench_train_step(iters: int = 40, use_pallas: bool = False):
     batch 4 x accum 8 = 32768 tokens/optimizer step).
 
     ``use_pallas=False`` measures the DEFAULT TPU training configuration
-    (direct Toeplitz conv + bf16 compute — the path scripts/train_lm.py
-    picks on TPU at seq<=2048; descent parity vs matmul-fp32 gated by
-    experiments/backend_descent_check.py); ``use_pallas=True`` routes the
-    conv through the fused kernel so the custom-vjp backward is
-    driver-tracked.  Returns (ms_per_step, tokens_per_sec).
+    (the fused whole-block Pallas kernel + bf16 compute — the path
+    scripts/train_lm.py picks on TPU at tile-aligned seq<=2048 shapes;
+    descent parity vs matmul-fp32 gated by
+    experiments/backend_descent_check.py); ``use_pallas=True`` instead
+    routes the conv through the fused FFT kernel (ops/pallas_spectral.py)
+    so that custom-vjp backward stays driver-tracked.  Returns
+    (ms_per_step, tokens_per_sec).
     """
     import jax
     import jax.numpy as jnp
@@ -127,6 +129,7 @@ def bench_train_step(iters: int = 40, use_pallas: bool = False):
         batch_size=4,
         accum_steps=8,
         use_pallas_kernel=use_pallas and on_tpu,  # interpret mode would dominate on CPU
+        use_fused_block=on_tpu and not use_pallas,
         fft_backend="direct" if (on_tpu and not use_pallas) else "xla",
         compute_dtype="bfloat16" if on_tpu else "float32",
     )

@@ -60,8 +60,15 @@ def main() -> None:
     )
     ref_cfg = TrainConfig(**base, fft_backend="matmul", compute_dtype="float32",
                           fft_precision="highest")
-    cand_cfg = TrainConfig(**base, fft_backend=args.candidate_backend,
-                           compute_dtype=args.candidate_dtype, fft_precision="default")
+    if args.candidate_backend == "fused":
+        # the whole-block Pallas kernel path (cfg.use_fused_block)
+        cand_cfg = TrainConfig(**base, use_fused_block=True,
+                               compute_dtype=args.candidate_dtype,
+                               fft_precision="default")
+    else:
+        cand_cfg = TrainConfig(**base, fft_backend=args.candidate_backend,
+                               compute_dtype=args.candidate_dtype,
+                               fft_precision="default")
 
     # one shared batch stream: both runs see byte-identical data
     np_rng = np.random.default_rng(123)

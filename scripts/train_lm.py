@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bicameral", action="store_true")
     p.add_argument("--compute-dtype", type=str, default=None, choices=["float32", "bfloat16"])
     p.add_argument("--fft-backend", type=str, default=None, choices=["xla", "matmul", "direct"])
+    p.add_argument("--no-fused-block", action="store_true",
+                   help="disable the fused whole-block Pallas training path "
+                        "(the TPU default at tile-aligned shapes)")
     p.add_argument("--fft-precision", type=str, default=None, choices=["highest", "default"])
     p.add_argument("--mesh-dp", type=int, default=None, help="data-parallel mesh axis size")
     p.add_argument("--mesh-sp", type=int, default=None, help="sequence-parallel mesh axis size")
@@ -99,18 +102,25 @@ def cfg_from_args(args: argparse.Namespace) -> TrainConfig:
     if args.bicameral:
         overrides["bicameral"] = True
 
-    # TPU defaults (only when the flags weren't given).  The direct Toeplitz
-    # conv + bf16 compute is the fastest measured training path (42.1 ms vs
-    # 90.0 ms matmul-fp32 at the flagship accum recipe — BENCHMARKS.md
-    # "flagship accum-config profile") and its descent matches matmul-fp32
-    # on the real corpus (experiments/backend_descent_check.py).  The
-    # reference itself trains under AMP (train_fixed_full.py:822,929).
-    # The Toeplitz matmul is O(T^2) — beyond seq 2048 the FFT's O(T log T)
-    # wins back, so long-sequence runs fall back to the matmul-FFT backend.
+    # TPU defaults (only when the flags weren't given), fastest first — all
+    # descent-parity gated vs matmul-fp32 on the real corpus
+    # (experiments/backend_descent_check.py; the reference itself trains
+    # under AMP, train_fixed_full.py:822,929).  Flagship accum-recipe
+    # timings (BENCHMARKS.md "flagship accum-config profile"):
+    #   fused whole-block Pallas + bf16   27.7 ms/step  (1.18M tok/s)
+    #   direct Toeplitz conv + bf16       42.1 ms/step
+    #   matmul FFT fp32 (round-1 default) 90.0 ms/step
+    # The fused kernel needs MXU/VPU-tile-aligned shapes (d_model and
+    # 2*d_model multiples of 128, seq a multiple of 8); both Toeplitz paths
+    # are O(T^2), so beyond seq 2048 the FFT's O(T log T) wins back.
     import jax
 
     if jax.default_backend() == "tpu":
         seq = overrides.get("seq_len", TrainConfig.seq_len)
+        d = overrides.get("d_model", TrainConfig.d_model)
+        if (not args.no_fused_block and seq <= 2048 and d % 128 == 0
+                and seq % 8 == 0):
+            overrides.setdefault("use_fused_block", True)
         overrides.setdefault("fft_backend", "direct" if seq <= 2048 else "matmul")
         overrides.setdefault("fft_precision", "default")
         overrides.setdefault("compute_dtype", "bfloat16")

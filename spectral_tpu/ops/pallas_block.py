@@ -113,7 +113,10 @@ def _dropout_masks(shape_list, p):
     inv_q = 1.0 / (1.0 - p)
     masks = []
     for shape in shape_list:
-        bits = pltpu.prng_random_bits(shape)
+        # prng_random_bits returns int32 on TPU — MUST bitcast before the
+        # unsigned compare (signed compare drops ~50% extra; verified by
+        # mask-statistics probe: zero-frac 0.1008, mean 0.9991 at p=0.1)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
         masks.append(jnp.where(bits >= thresh, inv_q, 0.0).astype(jnp.float32))
     return masks
 

@@ -163,3 +163,36 @@ def test_trainer_uses_fused_path(lm_setup):
         losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="in-kernel PRNG has no CPU lowering")
+def test_dropout_mask_statistics():
+    """Regression gate for the int32->uint32 bitcast bug: mask zero-fraction
+    must be ~p and mean ~1.0 (inverted dropout).  TPU-only (prng_seed has no
+    interpret-mode lowering)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from spectral_tpu.ops.pallas_block import _dropout_masks
+
+    p = 0.1
+
+    def kern(seed_ref, out_ref):
+        pltpu.prng_seed(seed_ref[0])
+        (m,) = _dropout_masks([out_ref.shape], p)
+        out_ref[...] = m
+
+    fn = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(1,), in_specs=[],
+            out_specs=pl.BlockSpec((256, 256), lambda i, *_: (0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((256, 256), jnp.float32),
+    )
+    m = fn(jnp.array([7], jnp.uint32))
+    zf = float(jnp.mean(m == 0.0))
+    assert abs(zf - p) < 0.02, zf
+    assert abs(float(jnp.mean(m)) - 1.0) < 0.02
