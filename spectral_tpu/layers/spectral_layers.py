@@ -190,11 +190,20 @@ class SpectralMixingLayer(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (D,))
         k = min(nf, T // 2)
 
+        xf = x.astype(jnp.float32)
+
+        # NOTE (measured, v5e): a fused Pallas version of this projection
+        # exists (ops/pallas_bandlimited.py, parity-gated) but is NOT
+        # dispatched here — at the seq-4k headline shape it measured 0.42 ms
+        # vs 0.29 ms for these einsums at fp32 accuracy (and 4x slower in
+        # bf16 fast mode).  XLA keeps the whole op fused and, inside a
+        # jitted loop, keeps the carry VMEM-resident across iterations;
+        # pallas_call forces an HBM round trip per call.  Kernel kept as an
+        # explicit opt-in for contexts XLA can't fuse (see its docstring).
         tc, ts = _lowbin_tables(T, k)
         mm = functools.partial(
             jnp.einsum, preferred_element_type=jnp.float32, precision=matfft._PRECISION
         )
-        xf = x.astype(jnp.float32)
         xr = mm("btc,tk->bkc", xf, tc)  # Re rfft(x)[:k]
         xi = -mm("btc,tk->bkc", xf, ts)  # Im rfft(x)[:k]
         wr = w_real[:, :k].T[None]  # (1, k, D)
