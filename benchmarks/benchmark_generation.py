@@ -1,10 +1,12 @@
-"""Decode-path benchmark: tokens/sec across the three generation strategies.
+"""Decode-path benchmark: tokens/sec across the generation strategies.
 
 * full-recompute host loop (reference generate, O(T) fwd/byte)
 * FIR streaming host loop (O(K)/byte, per-token host round-trip)
 * FIR streaming ON-DEVICE (single lax.scan call — the serving path)
+* BATCHED on-device serving (N concurrent streams, one scan — per-token
+  compute is tiny, so fleet throughput scales ~linearly with B)
 
-Run: python benchmarks/benchmark_generation.py [--quick]
+Run: python benchmarks/benchmark_generation.py [--quick] [--batch 32]
 """
 
 from __future__ import annotations
@@ -23,6 +25,7 @@ def main():
     apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--batch", type=int, default=32, help="batched-serving fleet size")
     args = ap.parse_args()
 
     import jax
@@ -65,7 +68,23 @@ def main():
 
     t_dev = timed("FIR streaming (on-device)", lambda: fir_generate_on_device(stream, prompt, max_new=max_new))
 
+    from spectral_tpu.streaming.fir import fir_generate_batch
+
+    B = args.batch
+    prompts = [f"{prompt} ({i})" for i in range(B)]
+
+    def batched():
+        fir_generate_batch(stream, prompts, max_new=max_new)
+
+    batched()  # compile
+    t0 = time.perf_counter()
+    batched()
+    t_b = time.perf_counter() - t0
+    print(f"{'BATCHED serving (B=%d)' % B:<28} {B*max_new/t_b:10.1f} bytes/sec   "
+          f"({t_b*1e3/max_new:6.2f} ms/step for {B} streams)")
+
     print(f"\non-device speedup: {t_full/t_dev:.1f}x vs full recompute, {t_fir/t_dev:.1f}x vs host-loop FIR")
+    print(f"batched serving: {B*t_dev/t_b:.1f}x the single-stream on-device throughput")
 
 
 if __name__ == "__main__":

@@ -317,3 +317,73 @@ def fir_generate_on_device(
         jax.random.PRNGKey(seed),
     )
     return bytes(prefix + [int(b) for b in np.asarray(out)]).decode("utf-8", errors="replace")
+
+
+def fir_generate_batch(
+    stream: "FIRStream",
+    prompts: list,
+    *,
+    max_new: int = 400,
+    seed: int = 0,
+) -> list:
+    """N concurrent generation streams in ONE device program.
+
+    The TPU-native serving path at batch: the FIR buffers are already
+    batched ([B, K, C] per layer) and ``DeviceSampler``'s penalty stack is
+    pure jnp over per-stream state, so the whole fleet advances with one
+    ``lax.scan`` — B× the throughput of ``fir_generate_on_device`` at
+    near-identical wall clock (per-token compute is tiny; the cost is the
+    sequential scan itself).  No reference counterpart (the reference
+    loops bytes in Python per stream, stream_generate_fast.py:221-234).
+
+    Prompts are left-padded with spaces to a common length for the warmup
+    scan; pad bytes age out of the FIR window after ``kernel_len`` tokens
+    (documented approximation — the penalty counts use each prompt's TRUE
+    bytes only).  Returns the list of decoded strings (prompt + new).
+    """
+    cfg = stream.cfg
+    sampler = DeviceSampler(cfg)
+    B = len(prompts)
+    encs = [list(p.encode("utf-8", errors="ignore")) or [32] for p in prompts]
+    t0 = max(len(e) for e in encs)
+    padded = np.full((B, t0), 32, np.int32)
+    for i, e in enumerate(encs):
+        padded[i, t0 - len(e):] = e
+
+    bufs = stream.init_state(batch=B)
+    if t0 > 1:
+        bufs = stream.warmup(bufs, padded[:, :-1])
+    states = jax.tree.map(
+        lambda *leaves: jnp.stack(leaves),
+        *[sampler.init_state(e) for e in encs],
+    )
+    last = jnp.asarray(padded[:, -1], jnp.int32)
+
+    cache = getattr(stream, "_gen_batch_cache", None)
+    if cache is None:
+        cache = stream._gen_batch_cache = {}
+    key = (B, max_new, tuple(sorted(sampler.cfg.to_dict().items())))
+    run = cache.get(key)
+    if run is None:
+
+        @jax.jit
+        def run(params, bufs, states, last_id, rng):
+            def body(carry, _):
+                bufs, states, last_id, rng = carry
+                bufs, logits = stream._step_impl(params, bufs, last_id)
+                l = jax.vmap(sampler.process_logits)(logits, states)
+                rng, sub = jax.random.split(rng)
+                subs = jax.random.split(sub, l.shape[0])
+                nxt, states = jax.vmap(sampler.draw_and_update)(subs, l, states)
+                return (bufs, states, nxt, rng), nxt
+
+            _, out = jax.lax.scan(body, (bufs, states, last_id, rng), None, length=max_new)
+            return out  # [max_new, B]
+
+        cache[key] = run
+
+    out = np.asarray(run(stream.params, bufs, states, last, jax.random.PRNGKey(seed)))
+    results = []
+    for i, e in enumerate(encs):
+        results.append(bytes(e + [int(b) for b in out[:, i]]).decode("utf-8", errors="replace"))
+    return results

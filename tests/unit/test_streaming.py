@@ -246,6 +246,27 @@ class TestOnDeviceGeneration:
         for b in body:
             assert b == 10 or (32 <= b <= 126)  # ascii_only enforced on device
 
+
+    def test_batched_generation(self):
+        """fir_generate_batch: N streams in one scan — per-stream results
+        are deterministic and ascii-clean, each continuing its own prompt."""
+        from spectral_tpu.streaming.fir import fir_generate_batch
+
+        cfg = tiny_cfg(max_run_length=6)
+        model, params = make_model(cfg)
+        stream = FIRStream(params, cfg)
+        prompts = ["hello world", "def main():", "import os"]
+        outs = fir_generate_batch(stream, prompts, max_new=24, seed=3)
+        assert len(outs) == 3
+        for p, o in zip(prompts, outs):
+            assert o.startswith(p)
+            body = o.encode("utf-8", errors="ignore")
+            assert len(body) >= len(p) + 24
+            for b in body:
+                assert b == 10 or (32 <= b <= 126)
+        outs2 = fir_generate_batch(stream, prompts, max_new=24, seed=3)
+        assert outs == outs2  # deterministic
+
     def test_anti_stutter_on_device(self):
         """Force a degenerate model (constant logits favoring one byte) and
         check the run-length ban caps repeats at max_run_length."""
