@@ -118,8 +118,9 @@ def cfg_from_args(args: argparse.Namespace) -> TrainConfig:
     if jax.default_backend() == "tpu":
         seq = overrides.get("seq_len", TrainConfig.seq_len)
         d = overrides.get("d_model", TrainConfig.d_model)
-        if (not args.no_fused_block and seq <= 2048 and d % 128 == 0
-                and seq % 8 == 0):
+        std_block = not (args.bicameral or args.frequency_native)
+        if (std_block and not args.no_fused_block and seq <= 2048
+                and d % 128 == 0 and seq % 8 == 0):
             overrides.setdefault("use_fused_block", True)
         overrides.setdefault("fft_backend", "direct" if seq <= 2048 else "matmul")
         overrides.setdefault("fft_precision", "default")

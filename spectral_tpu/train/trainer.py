@@ -97,10 +97,12 @@ def make_train_step(model, cfg: TrainConfig, tx) -> Callable:
     one dispatch covers a full optimizer step.
     """
 
-    if cfg.use_fused_block:
+    if cfg.use_fused_block and not (cfg.bicameral or cfg.frequency_native):
         # whole-block Pallas path (models/fused_apply.py): same param tree,
-        # one VMEM-resident program per block.  Parity gated in
-        # tests/unit/test_pallas_block.py.
+        # one VMEM-resident program per block — standard-block models only
+        # (bicameral/frequency-native have different param trees and fall
+        # through to the flax path even if the flag is set).  Parity gated
+        # in tests/unit/test_pallas_block.py.
         from spectral_tpu.models.fused_apply import fused_lm_apply
 
         def loss_fn(params, bx, by, cutoff, rng):
