@@ -52,33 +52,40 @@ def main():
 
     apply_gen = lambda p, x, c, length: model.apply({"params": p}, x, cutoff=c, deterministic=True, length=length)
 
-    # warm each path once (compiles), then time
+    # warm each path once (compiles), then time with a DIFFERENT seed —
+    # identical (executable, inputs) dispatches can be served from a value
+    # cache on a tunneled chip (CLAUDE.md benchmarking rules)
     def timed(label, fn):
-        fn()  # warm/compile
+        fn(0)  # warm/compile
         t0 = time.perf_counter()
-        fn()
+        fn(1)
         dt = time.perf_counter() - t0
         print(f"{label:<28} {max_new/dt:10.1f} bytes/sec   ({dt*1e3/max_new:6.2f} ms/byte)")
         return dt
 
-    t_full = timed("full recompute (host loop)", lambda: generate(apply_gen, params, prompt, cfg, max_new=max_new))
+    t_full = timed("full recompute (host loop)",
+                   lambda s: generate(apply_gen, params, prompt, cfg, max_new=max_new, seed=s))
 
     stream = FIRStream(params, cfg)
-    t_fir = timed("FIR streaming (host loop)", lambda: stream.generate(prompt, max_new=max_new))
+    t_fir = timed("FIR streaming (host loop)", lambda s: stream.generate(prompt, max_new=max_new, seed=s))
 
-    t_dev = timed("FIR streaming (on-device)", lambda: fir_generate_on_device(stream, prompt, max_new=max_new))
+    t_dev = timed("FIR streaming (on-device)",
+                  lambda s: fir_generate_on_device(stream, prompt, max_new=max_new, seed=s))
 
     from spectral_tpu.streaming.fir import fir_generate_batch
 
     B = args.batch
     prompts = [f"{prompt} ({i})" for i in range(B)]
 
-    def batched():
-        fir_generate_batch(stream, prompts, max_new=max_new)
+    def batched(seed):
+        fir_generate_batch(stream, prompts, max_new=max_new, seed=seed)
 
-    batched()  # compile
+    batched(0)  # compile
+    # timed call uses a DIFFERENT seed: identical (executable, inputs)
+    # dispatches can be served from a value cache on a tunneled chip
+    # (CLAUDE.md benchmarking rules)
     t0 = time.perf_counter()
-    batched()
+    batched(1)
     t_b = time.perf_counter() - t0
     print(f"{'BATCHED serving (B=%d)' % B:<28} {B*max_new/t_b:10.1f} bytes/sec   "
           f"({t_b*1e3/max_new:6.2f} ms/step for {B} streams)")

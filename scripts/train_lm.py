@@ -116,11 +116,18 @@ def cfg_from_args(args: argparse.Namespace) -> TrainConfig:
     import jax
 
     if jax.default_backend() == "tpu":
+        from spectral_tpu.ops.pallas_block import fused_block_fits
+
         seq = overrides.get("seq_len", TrainConfig.seq_len)
         d = overrides.get("d_model", TrainConfig.d_model)
         std_block = not (args.bicameral or args.frequency_native)
-        if (std_block and not args.no_fused_block and seq <= 2048
-                and d % 128 == 0 and seq % 8 == 0):
+        # an EXPLICIT --fft-backend/--fft-precision is a request for that
+        # conv path — the fused kernel (which ignores both) must not
+        # silently override it
+        explicit_conv = args.fft_backend is not None or args.fft_precision is not None
+        if (std_block and not args.no_fused_block and not explicit_conv
+                and seq <= 2048 and d % 128 == 0 and seq % 8 == 0
+                and fused_block_fits(seq, d, 2 * d)):
             overrides.setdefault("use_fused_block", True)
         overrides.setdefault("fft_backend", "direct" if seq <= 2048 else "matmul")
         overrides.setdefault("fft_precision", "default")

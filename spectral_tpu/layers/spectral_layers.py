@@ -34,16 +34,10 @@ from spectral_tpu.ops.wirtinger import wirtinger_multiply_ri
 
 @__import__("functools").lru_cache(maxsize=32)
 def _lowbin_tables(T: int, k: int):
-    """(T, k) cos/sin tables of the lowest k DFT bins: ang = 2π·t·j/T."""
-    import numpy as np
+    """(T, k) cos/sin low-bin DFT tables — shared source: ops.matfft."""
+    from spectral_tpu.ops.matfft import lowbin_tables
 
-    t = np.arange(T)[:, None].astype(np.float64)
-    j = np.arange(k)[None, :].astype(np.float64)
-    ang = 2.0 * np.pi * t * j / T
-    return (
-        jnp.asarray(np.cos(ang).astype(np.float32)),
-        jnp.asarray(np.sin(ang).astype(np.float32)),
-    )
+    return lowbin_tables(T, k)
 
 
 class SpectralMixingLayer(nn.Module):

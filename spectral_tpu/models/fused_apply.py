@@ -29,6 +29,7 @@ from spectral_tpu.ops.fftc import (
     kernel_rfft,
 )
 from spectral_tpu.ops.pallas_block import fused_block
+from spectral_tpu.ops.pallas_block import layernorm as _layernorm
 from spectral_tpu.ops.toeplitz import toeplitz_matrix
 
 # decorrelate per-layer dropout streams (Knuth multiplicative hash step)
@@ -78,10 +79,6 @@ def fused_block_apply(
     )
 
 
-def _layernorm(x, scale, bias, eps=1e-6):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean, 0.0)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
 def dropout_seed_from_key(rng: jax.Array) -> jax.Array:

@@ -68,6 +68,21 @@ def _twiddle(n1: int, n2: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=32)
+def lowbin_tables(T: int, k: int) -> tuple[jax.Array, jax.Array]:
+    """(T, k) cos/sin tables of the lowest k DFT bins (ang = 2π·t·j/T).
+
+    The shared table source for the band-limited mixing paths
+    (layers/spectral_layers.py and ops/pallas_bandlimited.py)."""
+    t = np.arange(T)[:, None].astype(np.float64)
+    j = np.arange(k)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * t * j / T
+    return (
+        jnp.asarray(np.cos(ang).astype(np.float32)),
+        jnp.asarray(np.sin(ang).astype(np.float32)),
+    )
+
+
 # TPU matmuls round fp32 inputs to bf16 at DEFAULT precision (measured
 # 2e-3 relative error on the DFT); HIGHEST runs the 3-pass bf16 scheme,
 # recovering fp32 accuracy at ~1/3 the bf16 rate — still MXU, still far

@@ -45,7 +45,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # keep importable off-TPU
     from jax.experimental import pallas as pl
@@ -58,15 +57,11 @@ except Exception:  # pragma: no cover
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-@functools.lru_cache(maxsize=16)
 def _tables(T: int, k: int):
-    t = np.arange(T)[:, None].astype(np.float64)
-    j = np.arange(k)[None, :].astype(np.float64)
-    ang = 2.0 * np.pi * t * j / T
-    return (
-        jnp.asarray(np.cos(ang).astype(np.float32)),
-        jnp.asarray(np.sin(ang).astype(np.float32)),
-    )
+    """(T, k) cos/sin low-bin DFT tables — shared source: ops.matfft."""
+    from spectral_tpu.ops.matfft import lowbin_tables
+
+    return lowbin_tables(T, k)
 
 
 def _dotT(a, b, prec):

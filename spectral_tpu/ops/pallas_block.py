@@ -70,6 +70,13 @@ def _ln_fwd(x, scale, bias):
     return xhat * scale + bias, xhat, inv
 
 
+def layernorm(x, scale, bias):
+    """The repo's ONE value-level LayerNorm (flax fast-variance semantics);
+    used by the fused apply path and the streaming decoders so numerics
+    can't drift between them."""
+    return _ln_fwd(x, scale, bias)[0]
+
+
 def _ln_bwd(u, xhat, inv, scale):
     """dx for LayerNorm given upstream u; also returns (dscale, dbias) sums."""
     su = u * scale
@@ -312,6 +319,70 @@ def _as2d(v):
     return v.reshape(1, -1)
 
 
+def fused_block_bwd_vmem_bytes(T: int, C: int, H: int) -> int:
+    """Conservative fp32 working-set estimate of the BACKWARD kernel (its
+    recompute-everything design holds M+dM, ~14 (T, C) intermediates, 4
+    (T, H) tensors and the four FFN weight/grad matrices in VMEM at once).
+    Callers gate the fused default on this fitting the VMEM budget —
+    otherwise Mosaic rejects the program AFTER a multi-minute remote
+    compile instead of falling back."""
+    return 4 * (2 * T * T + 14 * T * C + 4 * T * H + 4 * C * H + 2 * C * C)
+
+
+def fused_block_fits(T: int, C: int, H: int,
+                     budget: int = int(_VMEM_LIMIT * 0.8)) -> bool:
+    return fused_block_bwd_vmem_bytes(T, C, H) <= budget
+
+
+def _host_masks(seed, B, T, C, H, p):
+    """Inverted-dropout masks from the host PRNG (the interpret-mode path:
+    pltpu.prng_seed has no CPU lowering).  Deterministic in (seed, p,
+    shapes) so fwd and bwd regenerate identical masks; a DIFFERENT stream
+    than the in-kernel TPU PRNG (documented — dropout streams are
+    statistically, not bitwise, specified)."""
+    key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+    ks = jax.random.split(key, 3)
+    q = 1.0 - p
+    return tuple(
+        jax.random.bernoulli(k, q, (B,) + shape).astype(jnp.float32) / q
+        for k, shape in zip(ks, ((T, C), (T, H), (T, C)))
+    )
+
+
+def _values_fwd(x, M, ln1s, ln1b, Wg, bg, gain, ln2s, ln2b, W1, b1, W2, b2,
+                seed, p, cdt):
+    """vmapped value-level forward with host masks (off-TPU dropout path)."""
+    B, T, C = x.shape
+    masks = _host_masks(seed, B, T, C, W1.shape[1], p)
+
+    def one(xb, m1, m2, m3):
+        out, _ = _block_forward_values(
+            xb, M, ln1s, ln1b, Wg, bg, gain, ln2s, ln2b, W1, b1, W2, b2,
+            cdt, (m1, m2, m3))
+        return out
+
+    return jax.vmap(one)(x, *masks)
+
+
+def _values_bwd(gout, x, M, ln1s, ln1b, Wg, bg, gain, ln2s, ln2b,
+                W1, b1, W2, b2, seed, p, cdt):
+    B, T, C = x.shape
+    masks = _host_masks(seed, B, T, C, W1.shape[1], p)
+    args = (M, ln1s, ln1b, Wg, bg, gain, ln2s, ln2b, W1, b1, W2, b2)
+
+    def one(gb, xb, m1, m2, m3):
+        _, inter = _block_forward_values(xb, *args, cdt, (m1, m2, m3))
+        return _block_backward_values(gb, xb, *args, cdt, (m1, m2, m3), inter)
+
+    g = jax.vmap(one)(gout, x, *masks)
+    dx = g.pop("d_x")
+    summed = {k: jnp.sum(v, axis=0) for k, v in g.items()}
+    return (dx, summed["d_M"], summed["d_ln1s"], summed["d_ln1b"],
+            summed["d_Wg"], summed["d_bg"], summed["d_gain"],
+            summed["d_ln2s"], summed["d_ln2b"], summed["d_W1"],
+            summed["d_b1"], summed["d_W2"], summed["d_b2"])
+
+
 def _fused_fwd_impl(x, M, ln1s, ln1b, Wg, bg, gain, ln2s, ln2b, W1, b1, W2, b2,
                     seed, p, compute_dtype, interpret):
     B, T, C = x.shape
@@ -319,6 +390,13 @@ def _fused_fwd_impl(x, M, ln1s, ln1b, Wg, bg, gain, ln2s, ln2b, W1, b1, W2, b2,
     cdt = jnp.dtype(compute_dtype)
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
+    if interpret and p > 0.0:
+        # interpret mode can't lower the TPU PRNG — run the value-level
+        # reference with host-derived masks (same math, different stream)
+        return _values_fwd(x, M, _as2d(ln1s)[0], _as2d(ln1b)[0], Wg,
+                           _as2d(bg)[0], _as2d(gain)[0], _as2d(ln2s)[0],
+                           _as2d(ln2b)[0], W1, _as2d(b1)[0], W2,
+                           _as2d(b2)[0], seed, p, cdt)
     sp = _specs_common(B, T, C, H)
     kwargs = {}
     if not interpret:
@@ -350,6 +428,11 @@ def _fused_bwd_impl(gout, x, M, ln1s, ln1b, Wg, bg, gain, ln2s, ln2b,
     cdt = jnp.dtype(compute_dtype)
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
+    if interpret and p > 0.0:
+        return _values_bwd(gout, x, M, _as2d(ln1s)[0], _as2d(ln1b)[0], Wg,
+                           _as2d(bg)[0], _as2d(gain)[0], _as2d(ln2s)[0],
+                           _as2d(ln2b)[0], W1, _as2d(b1)[0], W2,
+                           _as2d(b2)[0], seed, p, cdt)
     sp = _specs_common(B, T, C, H)
     kwargs = {}
     if not interpret:

@@ -26,13 +26,7 @@ import numpy as np
 
 from spectral_tpu.models.config import TrainConfig
 
-_LN_EPS = 1e-6  # flax nn.LayerNorm default (our training stack)
-
-
-def _layernorm(x, scale, bias, eps=_LN_EPS):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) / jnp.sqrt(var + eps) * scale + bias
+from spectral_tpu.ops.pallas_block import layernorm as _layernorm
 
 
 def _ffn(p, x):
@@ -273,50 +267,11 @@ def fir_generate_on_device(
     """Generate max_new bytes in ONE device call: warmup scan + a sampling
     scan carrying (FIR buffers, sampler state, rng) — no per-token host
     round-trips (the TPU-native serving path; the reference loops tokens in
-    Python, stream_generate_fast.py:221-234)."""
-    cfg = stream.cfg
-    prefix = list(prompt.encode("utf-8", errors="ignore")) or [32]
-    sampler = DeviceSampler(cfg)
+    Python, stream_generate_fast.py:221-234).
 
-    bufs = stream.init_state(batch=1)
-    if len(prefix) > 1:
-        bufs = stream.warmup(bufs, np.asarray([prefix[:-1]], np.int32))
-    samp_state = sampler.init_state(prefix)
-
-    # cache the compiled scan per (max_new, sampler config) on the stream —
-    # rebuilding the jit closure per call would recompile every generation
-    cache = getattr(stream, "_gen_cache", None)
-    if cache is None:
-        cache = stream._gen_cache = {}
-    key = (max_new, tuple(sorted(sampler.cfg.to_dict().items())))
-    run = cache.get(key)
-    if run is None:
-
-        @jax.jit
-        def run(params, bufs, samp_state, last_id, rng):
-            def body(carry, _):
-                bufs, samp_state, last_id, rng = carry
-                bufs, logits = stream._step_impl(params, bufs, last_id)
-                l = sampler.process_logits(logits[0], samp_state)
-                rng, sub = jax.random.split(rng)
-                nxt, samp_state = sampler.draw_and_update(sub, l, samp_state)
-                return (bufs, samp_state, nxt[None], rng), nxt
-
-            (_, _, _, _), out = jax.lax.scan(
-                body, (bufs, samp_state, last_id, rng), None, length=max_new
-            )
-            return out
-
-        cache[key] = run
-
-    out = run(
-        stream.params,
-        bufs,
-        samp_state,
-        jnp.asarray([prefix[-1]], jnp.int32),
-        jax.random.PRNGKey(seed),
-    )
-    return bytes(prefix + [int(b) for b in np.asarray(out)]).decode("utf-8", errors="replace")
+    Exactly the B=1 case of ``fir_generate_batch`` (one scan body, one
+    compile cache — the two paths cannot drift)."""
+    return fir_generate_batch(stream, [prompt], max_new=max_new, seed=seed)[0]
 
 
 def fir_generate_batch(

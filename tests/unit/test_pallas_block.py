@@ -196,3 +196,37 @@ def test_dropout_mask_statistics():
     zf = float(jnp.mean(m == 0.0))
     assert abs(zf - p) < 0.02, zf
     assert abs(float(jnp.mean(m)) - 1.0) < 0.02
+
+
+def test_dropout_cpu_value_path():
+    """Off-TPU, dropout>0 routes through the host-mask value path (the
+    in-kernel TPU PRNG has no CPU lowering — regression for the crash the
+    round-2 review found).  Masks must regenerate identically between fwd
+    and bwd, outputs must differ from deterministic, grads stay finite."""
+    blk_cfg = dict(kernel_len=K, transition_bins=TRANS)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(B, T, C)).astype(np.float32))
+    cfg = TrainConfig(vocab_size=64, d_model=C, n_layers=1, seq_len=T, kernel_len=K,
+                      jpeg_transition=TRANS, dropout=0.2, compute_dtype="float32")
+    model = FixedSpectralLM(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, T), jnp.int32))
+    p = variables["params"]["block_0"]
+
+    det = fused_block_apply(p, x, jnp.int32(20), deterministic=True,
+                            compute_dtype="float32", interpret=True, **blk_cfg)
+    drop = fused_block_apply(p, x, jnp.int32(20), dropout=0.2, seed=jnp.uint32(9),
+                             deterministic=False, compute_dtype="float32",
+                             interpret=True, **blk_cfg)
+    assert float(jnp.max(jnp.abs(drop - det))) > 0  # masks active
+    drop2 = fused_block_apply(p, x, jnp.int32(20), dropout=0.2, seed=jnp.uint32(9),
+                              deterministic=False, compute_dtype="float32",
+                              interpret=True, **blk_cfg)
+    np.testing.assert_array_equal(np.asarray(drop), np.asarray(drop2))  # seeded
+
+    def loss(pp, xx):
+        return jnp.sum(jnp.square(fused_block_apply(
+            pp, xx, jnp.int32(20), dropout=0.2, seed=jnp.uint32(9),
+            deterministic=False, compute_dtype="float32", interpret=True,
+            **blk_cfg)))
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(p, x)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves((gp, gx)))
