@@ -61,12 +61,23 @@ class FIRStream:
 
     # -- pure functions -----------------------------------------------------
 
-    def _block_step(self, bp: dict, x_t: jax.Array, buf: jax.Array):
-        """One token through one block.  x_t: [B, C], buf: [B, K, C]."""
+    def _block_step(self, bp: dict, x_t: jax.Array, buf: jax.Array, pos):
+        """One token through one block.  x_t: [B, C], buf: [B, K, C].
+
+        The buffer is CIRCULAR: this token's pre-norm activation is written
+        at slot ``pos`` via dynamic_update_slice (one [B, 1, C] write) and
+        the K-tap kernel is rotated to align — the earlier jnp.roll layout
+        rewrote the entire [B, K, C] buffer per layer per token, which at
+        serving batch sizes is ~100x the necessary HBM traffic (the fleet's
+        buffers exceed VMEM, so every roll was an HBM round trip).  Slot s
+        holds the token (pos - s) mod K steps back; unwritten slots are
+        zero, so the wrapped kernel taps contribute nothing — bit-identical
+        to the roll layout (pinned by test_matches_full_forward)."""
         xn = _layernorm(x_t, bp["ln"]["scale"], bp["ln"]["bias"])
-        buf = jnp.roll(buf, shift=-1, axis=1).at[:, -1, :].set(xn)
-        k_rev = bp["kernel"][::-1]  # newest weight aligns with last buffer slot
-        y = jnp.sum(buf * k_rev[None, :, None], axis=1)
+        buf = jax.lax.dynamic_update_slice(buf, xn[:, None, :], (0, pos, 0))
+        # w[s] = kernel[(pos - s) mod K]: newest weight on the slot just written
+        w = jnp.roll(bp["kernel"][::-1], pos + 1)
+        y = jnp.sum(buf * w[None, :, None], axis=1)
         y = y * bp["gain"][None, :]
         # context gate approximated with the current token's representation
         g_ctx = jax.nn.sigmoid(xn @ bp["gate_ctx"]["kernel"] + bp["gate_ctx"]["bias"])
@@ -74,38 +85,41 @@ class FIRStream:
         x = x_t + y
         return _ffn(bp["ffn"], x), buf
 
-    def _token_step(self, params, x_id: jax.Array, bufs):
-        """x_id: [B] int32 -> (hidden [B, C], new bufs)."""
+    def _token_step(self, params, x_id: jax.Array, state):
+        """x_id: [B] int32 -> (hidden [B, C], new state)."""
+        bufs, pos = state
         h = params["embed"]["embedding"][x_id]
         new_bufs = []
         for i in range(self.n_layers):
-            h, b = self._block_step(params[f"block_{i}"], h, bufs[i])
+            h, b = self._block_step(params[f"block_{i}"], h, bufs[i], pos)
             new_bufs.append(b)
-        return h, new_bufs
+        return h, (new_bufs, (pos + 1) % self.kernel_len)
 
-    def _step_impl(self, params, bufs, x_id):
-        h, bufs = self._token_step(params, x_id, bufs)
+    def _step_impl(self, params, state, x_id):
+        h, state = self._token_step(params, x_id, state)
         h = _layernorm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
         logits = h @ params["embed"]["embedding"].T
-        return bufs, logits
+        return state, logits
 
-    def _warmup_impl(self, params, bufs, prefix_ids):
+    def _warmup_impl(self, params, state, prefix_ids):
         """prefix_ids: [B, T0] — scan the FIR state over the prefix."""
 
-        def body(bufs, ids_t):
-            _, bufs = self._token_step(params, ids_t, bufs)
-            return bufs, None
+        def body(state, ids_t):
+            _, state = self._token_step(params, ids_t, state)
+            return state, None
 
-        bufs, _ = jax.lax.scan(body, bufs, jnp.swapaxes(prefix_ids, 0, 1))
-        return bufs
+        state, _ = jax.lax.scan(body, state, jnp.swapaxes(prefix_ids, 0, 1))
+        return state
 
     # -- public API ---------------------------------------------------------
 
     def init_state(self, batch: int = 1):
-        return [
+        """Opaque decode state: (per-layer circular buffers, write slot)."""
+        bufs = [
             jnp.zeros((batch, self.kernel_len, self.d_model), jnp.float32)
             for _ in range(self.n_layers)
         ]
+        return (bufs, jnp.int32(0))
 
     def warmup(self, state, prefix_ids: jax.Array):
         return self._warmup(self.params, state, jnp.asarray(prefix_ids, jnp.int32))
@@ -220,14 +234,19 @@ class DeviceSampler:
         l = jnp.where(stutter, -jnp.inf, l)
         l = l / cfg.temperature
         if cfg.top_p is not None and cfg.top_p < 1.0:
-            order = jnp.argsort(-l)
-            sorted_l = l[order]
+            # sort-free-rank nucleus mask: ONE value sort + a threshold
+            # compare, instead of two argsorts + two gathers (the argsort
+            # pair dominated the per-token serving cost at fleet batch —
+            # argsort is a key/value bitonic sort, ~2x a value sort, and
+            # each gather is another full permutation).  Identical to the
+            # rank-based mask for distinct logits (ties at the threshold
+            # value are all kept — measure-zero for float logits).
+            sorted_l = -jnp.sort(-l)  # descending values
             probs = jax.nn.softmax(sorted_l)
             cdf = jnp.cumsum(probs)
-            keep_sorted = (cdf <= cfg.top_p).at[0].set(True)
-            rank = jnp.argsort(order)
-            keep = keep_sorted[rank]
-            l = jnp.where(keep, l, -jnp.inf)
+            keep_count = jnp.maximum(jnp.sum(cdf <= cfg.top_p), 1)
+            thresh = sorted_l[keep_count - 1]
+            l = jnp.where(l >= thresh, l, -jnp.inf)
         if cfg.top_k and cfg.top_k > 0:
             kth = jnp.sort(l)[-min(cfg.top_k, 256)]
             l = jnp.where(l < kth, -jnp.inf, l)
