@@ -230,3 +230,36 @@ def test_dropout_cpu_value_path():
 
     gp, gx = jax.grad(loss, argnums=(0, 1))(p, x)
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves((gp, gx)))
+
+
+def test_fused_trainer_matches_flax_trainer():
+    """Step-for-step loss parity: the SAME init and batches through the
+    fused train step and the flax train step (fp32, dropout=0) must
+    produce matching loss trajectories — the CI version of
+    experiments/backend_descent_check.py."""
+    from spectral_tpu.train.trainer import init_model, make_optimizer, make_train_step
+
+    base = dict(vocab_size=64, d_model=C, n_layers=2, seq_len=T, kernel_len=K,
+                jpeg_transition=TRANS, dropout=0.0, compute_dtype="float32",
+                batch_size=2, accum_steps=2, fft_precision="highest")
+    rng = np.random.default_rng(7)
+    bxs = [jnp.asarray(rng.integers(0, 64, (2, 2, T)).astype(np.int32)) for _ in range(5)]
+    bys = [jnp.asarray(rng.integers(0, 64, (2, 2, T)).astype(np.int32)) for _ in range(5)]
+
+    def run(cfg):
+        model, params = init_model(cfg)
+        tx = make_optimizer(cfg)
+        opt_state = tx.init(params)
+        step = make_train_step(model, cfg, tx)
+        losses = []
+        for i in range(5):
+            params, opt_state, loss = step(
+                params, opt_state, bxs[i], bys[i], jnp.int32(24),
+                jnp.float32(3e-3), jax.random.PRNGKey(0),
+            )
+            losses.append(float(loss))
+        return losses
+
+    l_flax = run(TrainConfig(**base, fft_backend="direct"))
+    l_fused = run(TrainConfig(**base, use_fused_block=True))
+    np.testing.assert_allclose(l_fused, l_flax, rtol=2e-4)
