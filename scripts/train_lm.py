@@ -120,14 +120,21 @@ def cfg_from_args(args: argparse.Namespace) -> TrainConfig:
 
         seq = overrides.get("seq_len", TrainConfig.seq_len)
         d = overrides.get("d_model", TrainConfig.d_model)
+        hidden = overrides.get("ffn_mult", TrainConfig.ffn_mult) * d
         std_block = not (args.bicameral or args.frequency_native)
         # an EXPLICIT --fft-backend/--fft-precision is a request for that
         # conv path — the fused kernel (which ignores both) must not
         # silently override it
         explicit_conv = args.fft_backend is not None or args.fft_precision is not None
+        # the fused kernel is a per-batch-element grid program: it shards
+        # over dp (each device runs its batch shard through the kernel,
+        # parallel/sharded_train.py) but not over sp/tp, which need the
+        # flax Ulysses/column-parallel paths
+        mesh_ok = (overrides.get("mesh_sp", 1) == 1
+                   and overrides.get("mesh_tp", 1) == 1)
         if (std_block and not args.no_fused_block and not explicit_conv
-                and seq <= 2048 and d % 128 == 0 and seq % 8 == 0
-                and fused_block_fits(seq, d, 2 * d)):
+                and mesh_ok and seq <= 2048 and d % 128 == 0 and seq % 8 == 0
+                and fused_block_fits(seq, d, hidden)):
             overrides.setdefault("use_fused_block", True)
         overrides.setdefault("fft_backend", "direct" if seq <= 2048 else "matmul")
         overrides.setdefault("fft_precision", "default")

@@ -264,6 +264,18 @@ class FixedSpectralLM(nn.Module):
         else:
             block_cls = FixedSpectralBlock
         extra = {"causal_taps": cfg.causal_taps}
+        if self.mesh is not None and block_cls is not FixedSpectralBlock:
+            # only the standard block routes its conv through the Ulysses
+            # all-to-all; accepting a mesh here would silently train the
+            # bicameral/frequency-native variants with NO sequence sharding
+            # (each device seeing a T/sp window as if it were the full
+            # sequence) — fail loudly instead (VERDICT r2, missing #5)
+            raise NotImplementedError(
+                f"sequence parallelism (mesh sp>1) is only wired for the "
+                f"standard FixedSpectralBlock; {block_cls.__name__} would "
+                f"silently compute wrong-window convolutions. Run this "
+                f"variant with mesh_sp=1 (dp/tp still available)."
+            )
         if block_cls is FixedSpectralBlock and self.mesh is not None:
             extra["mesh"] = self.mesh
         if block_cls is FixedSpectralBlock and cfg.use_pallas_kernel:

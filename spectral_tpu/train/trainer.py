@@ -50,7 +50,15 @@ def dropout_key(cfg: TrainConfig, seed: int) -> jax.Array:
     reproducibility; dropout masks need no counter-based guarantees."""
     try:
         return jax.random.key(seed, impl=cfg.dropout_prng)
-    except Exception:  # unknown impl name — fall back to the JAX default
+    except (KeyError, ValueError, TypeError) as e:
+        # only a MISSING impl falls back (e.g. rbg off-TPU builds); a typo'd
+        # config would otherwise silently lose the rbg speedup it asked for
+        known = {"rbg", "unsafe_rbg", "threefry2x32"}
+        if cfg.dropout_prng not in known:
+            raise ValueError(
+                f"cfg.dropout_prng={cfg.dropout_prng!r} is not a known PRNG "
+                f"impl {sorted(known)}"
+            ) from e
         return jax.random.PRNGKey(seed)
 
 

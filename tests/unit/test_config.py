@@ -48,3 +48,21 @@ class TestTrainConfig:
     def test_mesh_defaults_single_device(self):
         cfg = TrainConfig()
         assert cfg.mesh_dp * cfg.mesh_sp * cfg.mesh_tp >= 1
+
+
+class TestDropoutPRNGValidation:
+    def test_typo_impl_raises(self):
+        import pytest
+
+        from spectral_tpu.models.config import TrainConfig
+        from spectral_tpu.train.trainer import dropout_key
+
+        with pytest.raises(ValueError, match="dropout_prng"):
+            dropout_key(TrainConfig(dropout_prng="rgb"), 0)
+
+    def test_known_impls_work(self):
+        from spectral_tpu.models.config import TrainConfig
+        from spectral_tpu.train.trainer import dropout_key
+
+        for impl in ("rbg", "threefry2x32"):
+            dropout_key(TrainConfig(dropout_prng=impl), 0)

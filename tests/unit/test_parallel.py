@@ -217,3 +217,30 @@ class TestProfiling:
         assert_roofline(r, min_fraction=0.0)
         with pytest.raises(AssertionError, match="roofline"):
             assert_roofline(r, min_fraction=10.0)
+
+
+class TestSPVariantGuard:
+    """mesh+sp with a non-standard block must fail LOUDLY (VERDICT r2 #5),
+    never silently train wrong-window convolutions."""
+
+    def _init_with_mesh(self, **cfg_kw):
+        from spectral_tpu.models.backbone import FixedSpectralLM
+        from spectral_tpu.models.config import TrainConfig
+
+        cfg = TrainConfig(
+            d_model=64, n_layers=1, seq_len=64, kernel_len=16, jpeg_transition=8,
+            dropout=0.0, **cfg_kw,
+        )
+        mesh = make_mesh(8)
+        model = FixedSpectralLM(cfg, mesh=mesh)
+        x = jnp.zeros((2, 64), jnp.int32)
+        with mesh:
+            model.init(jax.random.PRNGKey(0), x)
+
+    def test_bicameral_with_mesh_raises(self):
+        with pytest.raises(NotImplementedError, match="sequence parallelism"):
+            self._init_with_mesh(bicameral=True)
+
+    def test_frequency_native_with_mesh_raises(self):
+        with pytest.raises(NotImplementedError, match="sequence parallelism"):
+            self._init_with_mesh(frequency_native=True)
