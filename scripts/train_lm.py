@@ -116,7 +116,7 @@ def cfg_from_args(args: argparse.Namespace) -> TrainConfig:
     import jax
 
     if jax.default_backend() == "tpu":
-        from spectral_tpu.ops.pallas_block import fused_block_fits
+        from spectral_tpu.models.fused_apply import fused_path_for
 
         seq = overrides.get("seq_len", TrainConfig.seq_len)
         d = overrides.get("d_model", TrainConfig.d_model)
@@ -126,15 +126,18 @@ def cfg_from_args(args: argparse.Namespace) -> TrainConfig:
         # conv path — the fused kernel (which ignores both) must not
         # silently override it
         explicit_conv = args.fft_backend is not None or args.fft_precision is not None
-        # the fused kernel is a per-batch-element grid program: it shards
+        # the fused kernels are per-batch-element grid programs: they shard
         # over dp (each device runs its batch shard through the kernel,
         # parallel/sharded_train.py) but not over sp/tp, which need the
         # flax Ulysses/column-parallel paths
         mesh_ok = (overrides.get("mesh_sp", 1) == 1
                    and overrides.get("mesh_tp", 1) == 1)
+        # fused_path_for: seq<=2048 -> whole-block kernel; longer -> XLA
+        # conv + positionwise tail kernel (ops/pallas_tail.py) — the fused
+        # default no longer stops at 2048
         if (std_block and not args.no_fused_block and not explicit_conv
-                and mesh_ok and seq <= 2048 and d % 128 == 0 and seq % 8 == 0
-                and fused_block_fits(seq, d, hidden)):
+                and mesh_ok and seq % 8 == 0
+                and fused_path_for(seq, d, hidden) is not None):
             overrides.setdefault("use_fused_block", True)
         overrides.setdefault("fft_backend", "direct" if seq <= 2048 else "matmul")
         overrides.setdefault("fft_precision", "default")

@@ -28,8 +28,9 @@ from spectral_tpu.ops.fftc import (
     cutoff_mask,
     kernel_rfft,
 )
-from spectral_tpu.ops.pallas_block import fused_block
+from spectral_tpu.ops.pallas_block import fused_block, fused_block_fits
 from spectral_tpu.ops.pallas_block import layernorm as _layernorm
+from spectral_tpu.ops.pallas_tail import fused_tail, pick_chunk
 from spectral_tpu.ops.toeplitz import toeplitz_matrix
 
 # decorrelate per-layer dropout streams (Knuth multiplicative hash step)
@@ -81,6 +82,72 @@ def fused_block_apply(
 
 
 
+def fused_path_for(T: int, C: int, H: int) -> Optional[str]:
+    """Which fused route covers shape (T, C, H): "block" (whole-block
+    kernel, seq<=2048 + VMEM fit), "tail" (conv-in-XLA + positionwise tail
+    kernel — any T with a multiple-of-8 divisor), or None (flax path).
+
+    Mosaic tile alignment (d_model % 128) is the CALLER's gate
+    (scripts/train_lm.py) — interpret-mode tests run at small C."""
+    if T <= 2048 and T % 8 == 0 and fused_block_fits(T, C, H):
+        return "block"
+    if pick_chunk(T, C, H) is not None:
+        return "tail"
+    return None
+
+
+def fused_block_apply_tail(
+    bp: dict, x: jax.Array, cutoff, *, kernel_len: int, transition_bins: int,
+    dropout: float = 0.0, seed=0, deterministic: bool = True,
+    causal_taps: bool = True, compute_dtype: str = "bfloat16",
+    conv_backend: str = "auto", interpret: bool = False,
+) -> jax.Array:
+    """One FixedSpectralBlock forward: XLA conv + fused positionwise tail.
+
+    The long-sequence fused route (ops/pallas_tail.py): LN1/gate/conv stay
+    XLA ops (autodiff'd by XLA), the positionwise tail is one chunked
+    Pallas program.  ``conv_backend``: "auto" dispatches like the flax
+    path (Toeplitz matmul <= 2048, matmul-FFT above — backbone.py:191-226).
+    """
+    B, T, C = x.shape
+    n_fft = conv_n_fft(T, kernel_len)
+    fbins = n_fft // 2 + 1
+    xn = _layernorm(x, bp["ln"]["scale"], bp["ln"]["bias"])
+    pooled = jnp.mean(xn, axis=1)  # [B, C]
+    g_ctx = jax.nn.sigmoid(
+        pooled @ bp["gate_ctx"]["kernel"] + bp["gate_ctx"]["bias"]
+    )  # [B, C] — fp32, like the flax gate Dense
+    s = bp["gain"][None, :] * g_ctx
+
+    k_freq = kernel_rfft(bp["kernel"], n_fft)
+    g_freq = jax.nn.sigmoid(bp["gate_freq_logits"][:fbins])
+    mask = cutoff_mask(fbins, cutoff, transition_bins)
+    h_fused = k_freq * g_freq * mask
+    if causal_taps:
+        h_fused = causal_filter_taps(h_fused, n_fft, jnp.int32(n_fft - T))
+
+    if conv_backend == "auto":
+        conv_backend = "direct" if T <= 2048 else "matmul"
+    if conv_backend == "direct":
+        from spectral_tpu.ops.toeplitz import spectral_conv_direct
+
+        conv = spectral_conv_direct(xn, h_fused, n_fft)
+    else:
+        from spectral_tpu.ops.matfft import spectral_conv_matmul
+
+        conv = jnp.swapaxes(
+            spectral_conv_matmul(jnp.swapaxes(xn, 1, 2), h_fused, n_fft), 1, 2
+        )
+
+    p = 0.0 if deterministic else dropout
+    return fused_tail(
+        x, conv, s, bp["ffn"]["ffn_ln"]["scale"], bp["ffn"]["ffn_ln"]["bias"],
+        bp["ffn"]["ffn_in"]["kernel"], bp["ffn"]["ffn_in"]["bias"],
+        bp["ffn"]["ffn_out"]["kernel"], bp["ffn"]["ffn_out"]["bias"],
+        jnp.asarray(seed, jnp.uint32), p, compute_dtype, None, interpret,
+    )
+
+
 def dropout_seed_from_key(rng: jax.Array) -> jax.Array:
     """uint32 kernel-PRNG seed from a JAX PRNG key (any impl)."""
     return jax.random.bits(rng, (), jnp.uint32)
@@ -89,15 +156,27 @@ def dropout_seed_from_key(rng: jax.Array) -> jax.Array:
 def fused_lm_apply(
     params: dict, tokens: jax.Array, cfg: TrainConfig,
     cutoff=None, deterministic: bool = True, rng: Optional[jax.Array] = None,
-    interpret: bool = False,
+    interpret: bool = False, force_path: Optional[str] = None,
 ) -> jax.Array:
-    """FixedSpectralLM logits from its param tree via the fused block kernel.
+    """FixedSpectralLM logits from its param tree via the fused kernels.
 
     ``params``: the ``variables["params"]`` tree of FixedSpectralLM.
     ``rng``: PRNG key for dropout (required when not deterministic).
+    Route per shape (``fused_path_for``): seq<=2048 runs the whole-block
+    kernel; longer sequences run the conv in XLA (matmul-FFT) + the
+    positionwise tail kernel — no sequence-length cliff.  ``force_path``
+    overrides the dispatch ("block"|"tail", tests/benchmarks only).
     """
     emb = params["embed"]["embedding"]
     h = emb[tokens]
+    T = h.shape[1]
+    hidden = params["block_0"]["ffn"]["ffn_in"]["kernel"].shape[1]
+    path = force_path or fused_path_for(T, cfg.d_model, hidden)
+    if path is None:
+        raise ValueError(
+            f"no fused route covers (T={T}, C={cfg.d_model}, H={hidden}); "
+            f"use the flax path (cfg.use_fused_block=False)"
+        )
     if deterministic or cfg.dropout == 0.0:
         seed = jnp.uint32(0)
         det = True
@@ -107,14 +186,23 @@ def fused_lm_apply(
         det = False
     for i in range(cfg.n_layers):
         bp = params[f"block_{i}"]
-        h = fused_block_apply(
-            bp, h, cutoff,
-            kernel_len=cfg.kernel_len, transition_bins=cfg.jpeg_transition,
-            dropout=cfg.dropout,
-            seed=seed + jnp.uint32((i * _LAYER_SEED_STRIDE) & 0xFFFFFFFF),
-            deterministic=det, causal_taps=cfg.causal_taps,
-            compute_dtype=cfg.compute_dtype, interpret=interpret,
-        )
+        layer_seed = seed + jnp.uint32((i * _LAYER_SEED_STRIDE) & 0xFFFFFFFF)
+        if path == "block":
+            h = fused_block_apply(
+                bp, h, cutoff,
+                kernel_len=cfg.kernel_len, transition_bins=cfg.jpeg_transition,
+                dropout=cfg.dropout, seed=layer_seed,
+                deterministic=det, causal_taps=cfg.causal_taps,
+                compute_dtype=cfg.compute_dtype, interpret=interpret,
+            )
+        else:
+            h = fused_block_apply_tail(
+                bp, h, cutoff,
+                kernel_len=cfg.kernel_len, transition_bins=cfg.jpeg_transition,
+                dropout=cfg.dropout, seed=layer_seed,
+                deterministic=det, causal_taps=cfg.causal_taps,
+                compute_dtype=cfg.compute_dtype, interpret=interpret,
+            )
     h = _layernorm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
     cdt = jnp.dtype(cfg.compute_dtype)
     logits = h.astype(cdt) @ emb.T.astype(cdt)
