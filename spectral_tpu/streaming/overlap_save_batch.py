@@ -1,0 +1,228 @@
+"""Batched EXACT streaming decode: N overlap-save streams, one jitted scan.
+
+Reference: scripts/generate_chunked_overlap_save.py:78-206 — the reference
+README's *recommended* (exact) decoder, which its torch implementation can
+only run one stream at a time with a Python chunk loop.  This module serves
+N streams concurrently with the FULL gate stack (per-frequency gate,
+sliding-window context gate, per-channel gain) — the exactness
+``fir_generate_batch`` gives up (it drops the frequency gate and
+approximates the context gate; streaming/fir.py:10-15).
+
+The O(T·C)-per-token trick (why this is cheap enough to serve):
+the training conv at the NEWEST position t reduces to a dot over the
+sliding window —
+
+    y[t] = sum_{tau=0}^{T-1} h_time[tau] * xn[t - tau]
+
+because (a) taps tau >= T cannot reach position t inside a T-long window
+(x is zero-padded beyond it in training), and (b) the circular wrap taps
+of the causal_taps=False variant only land on EARLIER rows of the Toeplitz
+operator, never the last one.  So per token per layer the decoder needs ONE
+read of the [N, T, C] pre-norm window — no FFT, no (T, T) matrix — and the
+context-gate window mean rides the SAME read (a second row in the einsum).
+Buffers are circular (one [N, 1, C] write/slot, rotated tap vector) like
+the FIR fleet's — no sliding copies.
+
+Exactness gate: tests/unit/test_streaming.py::TestOverlapSaveBatch — per
+token logits equal OverlapSaveStream(chunk=1) and the full forward's last
+position at fp32 tolerance.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.models.config import TrainConfig
+from spectral_tpu.ops.fftc import causal_filter_taps, conv_n_fft
+from spectral_tpu.streaming.fir import DeviceSampler, _ffn, _layernorm
+
+
+class OverlapSaveBatch:
+    """Exact N-stream decoder over a trained FixedSpectralLM param tree.
+
+    Weight-tied next-byte logits (the flagship artifact path).  All state
+    is batched: per-layer circular pre-norm windows [N, T, C] + one write
+    pointer.  ``seq_len`` is the sliding window length (cfg.seq_len).
+    """
+
+    def __init__(self, params: dict, cfg: TrainConfig):
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.cfg = cfg
+        self.n_layers = cfg.n_layers
+        self.T = cfg.seq_len
+        self.kernel_len = cfg.kernel_len
+        self.causal_taps = getattr(cfg, "causal_taps", True)
+        self.n_fft = conv_n_fft(cfg.seq_len, cfg.kernel_len)
+        self._init_fn = jax.jit(self._init_impl)
+        self._step = jax.jit(self._step_impl)
+
+    # -- filter taps --------------------------------------------------------
+
+    def _layer_taps(self, bp: dict) -> jax.Array:
+        """First-T time taps of the block's fused eval-time filter
+        irfft(k̂·sigmoid(gate_freq)) (+ causal projection) — all the conv
+        memory the newest position can see (module docstring)."""
+        n_fft = self.n_fft
+        fbins = n_fft // 2 + 1
+        k = jnp.pad(bp["kernel"].astype(jnp.float32), (0, n_fft - self.kernel_len))
+        k_freq = jnp.fft.rfft(k)
+        h = k_freq * jax.nn.sigmoid(bp["gate_freq_logits"][:fbins])
+        if self.causal_taps:  # must mirror training (models/backbone.py)
+            h = causal_filter_taps(h, n_fft, n_fft - self.T)
+        h_time = jnp.fft.irfft(h, n=n_fft)
+        return h_time[: self.T].astype(jnp.float32)
+
+    # -- init: full forward over the padded window --------------------------
+
+    def _block_full(self, bp: dict, h: jax.Array):
+        """Full-window block forward (init only); returns (h_out, ln_in).
+        Same math as OverlapSaveStream._block_full, batched over N."""
+        N, T, C = h.shape
+        ln_in = _layernorm(h, bp["ln"]["scale"], bp["ln"]["bias"])
+        n_fft = self.n_fft
+        fbins = n_fft // 2 + 1
+        x_pad = jnp.pad(ln_in, ((0, 0), (0, n_fft - T), (0, 0)))
+        x_freq = jnp.fft.rfft(x_pad, axis=1)
+        k = jnp.pad(bp["kernel"], (0, n_fft - self.kernel_len))
+        k_freq = jnp.fft.rfft(k)
+        hfil = k_freq * jax.nn.sigmoid(bp["gate_freq_logits"][:fbins])
+        if self.causal_taps:
+            hfil = causal_filter_taps(hfil, n_fft, n_fft - T)
+        pooled = jnp.mean(ln_in, axis=1)
+        g_ctx = jax.nn.sigmoid(pooled @ bp["gate_ctx"]["kernel"] + bp["gate_ctx"]["bias"])
+        y_freq = x_freq * hfil[None, :, None] * (bp["gain"][None, :] * g_ctx)[:, None, :]
+        y = jnp.fft.irfft(y_freq, n=n_fft, axis=1)[:, :T, :]
+        return _ffn(bp["ffn"], h + y), ln_in
+
+    def _init_impl(self, params, x_ids):
+        """x_ids [N, T] -> (bufs, ptr, h_last, logits).  Buffer slot j holds
+        window position j; the next write overwrites slot 0 (the oldest)."""
+        h = params["embed"]["embedding"][x_ids]
+        bufs = []
+        for i in range(self.n_layers):
+            h, ln_in = self._block_full(params[f"block_{i}"], h)
+            bufs.append(ln_in)
+        h = _layernorm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
+        h_last = h[:, -1, :]
+        logits = h_last @ params["embed"]["embedding"].T
+        return bufs, jnp.int32(0), logits
+
+    # -- per-token step ------------------------------------------------------
+
+    def _block_token(self, bp: dict, taps: jax.Array, x_t: jax.Array,
+                     buf: jax.Array, ptr):
+        """One token through one block.  x_t [N, C], buf [N, T, C] circular.
+
+        Writes this token's pre-norm activation at slot ``ptr`` (newest),
+        then computes conv-dot AND window mean in ONE buffer read:
+        R = [rotated taps; 1/T], res = einsum('ntc,rt->nrc', buf, R).
+        """
+        T = self.T
+        xn = _layernorm(x_t, bp["ln"]["scale"], bp["ln"]["bias"])
+        buf = jax.lax.dynamic_update_slice(buf, xn[:, None, :], (0, ptr, 0))
+        # w[j] = taps[(ptr - j) mod T]: newest weight on the slot just written
+        w = jnp.roll(taps[::-1], ptr + 1)
+        R = jnp.stack([w, jnp.full((T,), 1.0 / T, jnp.float32)])  # [2, T]
+        res = jnp.einsum("ntc,rt->nrc", buf, R)
+        y_raw, pooled = res[:, 0, :], res[:, 1, :]
+        g_ctx = jax.nn.sigmoid(pooled @ bp["gate_ctx"]["kernel"] + bp["gate_ctx"]["bias"])
+        y = y_raw * (bp["gain"][None, :] * g_ctx)
+        return _ffn(bp["ffn"], x_t + y), buf
+
+    def _token_step(self, params, taps_list, state, x_id):
+        bufs, ptr = state
+        h = params["embed"]["embedding"][x_id]
+        new_bufs = []
+        for i in range(self.n_layers):
+            h, b = self._block_token(params[f"block_{i}"], taps_list[i], h,
+                                     bufs[i], ptr)
+            new_bufs.append(b)
+        h = _layernorm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
+        logits = h @ params["embed"]["embedding"].T
+        return (new_bufs, (ptr + 1) % self.T), logits
+
+    def _step_impl(self, params, state, x_id):
+        taps_list = [self._layer_taps(params[f"block_{i}"]) for i in range(self.n_layers)]
+        return self._token_step(params, taps_list, state, x_id)
+
+    # -- public API ----------------------------------------------------------
+
+    def init_state(self, context_ids) -> tuple:
+        """context_ids [N, T] int32 (left-pad to seq_len upstream).
+        Returns ((bufs, ptr), logits_for_last_context_position)."""
+        bufs, ptr, logits = self._init_fn(self.params, jnp.asarray(context_ids, jnp.int32))
+        return (bufs, ptr), logits
+
+    def next_logits(self, state, last_id):
+        """last_id [N] int32 -> (state, [N, 256] tied logits)."""
+        return self._step(self.params, state, jnp.asarray(last_id, jnp.int32))
+
+
+def overlap_save_generate_batch(
+    decoder: OverlapSaveBatch,
+    prompts: list,
+    *,
+    max_new: int = 400,
+    seed: int = 0,
+) -> list:
+    """N exact concurrent streams in ONE device program (scan over tokens).
+
+    The exact counterpart of ``fir_generate_batch`` (streaming/fir.py):
+    same DeviceSampler penalty stack, same one-scan structure, but the full
+    training-forward gate math per token.  Prompts are LEFT-padded with
+    spaces to the model's seq_len window (the overlap-save window must be
+    full; reference generate_chunked_overlap_save.py pads the same way).
+    Returns decoded strings (prompt + new bytes).
+    """
+    cfg = decoder.cfg
+    sampler = DeviceSampler(cfg)
+    N = len(prompts)
+    T = decoder.T
+    encs = [list(p.encode("utf-8", errors="ignore")) or [32] for p in prompts]
+    padded = np.full((N, T), 32, np.int32)
+    for i, e in enumerate(encs):
+        tail = e[-T:]
+        padded[i, T - len(tail):] = tail
+
+    # the init forward already consumes every prompt byte (the window holds
+    # them all); the first sampled byte continues from the last prompt byte
+    state, logits0 = decoder.init_state(padded)
+    states = jax.tree.map(
+        lambda *leaves: jnp.stack(leaves),
+        *[sampler.init_state(e) for e in encs],
+    )
+
+    cache = getattr(decoder, "_gen_batch_cache", None)
+    if cache is None:
+        cache = decoder._gen_batch_cache = {}
+    key = (N, max_new, tuple(sorted(sampler.cfg.to_dict().items())))
+    run = cache.get(key)
+    if run is None:
+
+        @jax.jit
+        def run(params, state, samp_states, logits0, rng):
+            # taps depend only on params: computed ONCE, carried into the scan
+            taps_list = [decoder._layer_taps(params[f"block_{i}"])
+                         for i in range(decoder.n_layers)]
+
+            def body(carry, _):
+                state, samp_states, logits, rng = carry
+                l = jax.vmap(sampler.process_logits)(logits, samp_states)
+                rng, sub = jax.random.split(rng)
+                subs = jax.random.split(sub, l.shape[0])
+                nxt, samp_states = jax.vmap(sampler.draw_and_update)(subs, l, samp_states)
+                state, logits = decoder._token_step(params, taps_list, state, nxt)
+                return (state, samp_states, logits, rng), nxt
+
+            _, out = jax.lax.scan(body, (state, samp_states, logits0, rng), None, length=max_new)
+            return out  # [max_new, N]
+
+        cache[key] = run
+
+    out = np.asarray(run(decoder.params, state, states, logits0, jax.random.PRNGKey(seed)))
+    results = []
+    for i, e in enumerate(encs):
+        results.append(bytes(e + [int(b) for b in out[:, i]]).decode("utf-8", errors="replace"))
+    return results

@@ -291,3 +291,96 @@ class TestOnDeviceGeneration:
             prev = b
             max_run = max(max_run, run)
         assert max_run <= cfg.max_run_length
+
+
+class TestOverlapSaveBatch:
+    """Batched EXACT decoder (streaming/overlap_save_batch.py): per-token
+    logits must equal OverlapSaveStream(chunk=1) — same algorithm, tap-dot
+    instead of window FFT — and the full forward at init."""
+
+    def _setup(self, n_layers=2, **gates):
+        cfg = tiny_cfg(n_layers=n_layers)
+        model, params = make_model(cfg, **gates)
+        return cfg, model, params
+
+    def test_init_matches_full_forward(self):
+        from spectral_tpu.streaming.overlap_save_batch import OverlapSaveBatch
+
+        cfg, model, params = self._setup(open_freq_gate=False, active_ctx_gate=True)
+        rng = np.random.default_rng(11)
+        ids = rng.integers(0, 256, (3, cfg.seq_len)).astype(np.int32)
+        dec = OverlapSaveBatch(params, cfg)
+        _, logits = dec.init_state(ids)
+        ref = np.asarray(model.apply({"params": params}, jnp.asarray(ids), deterministic=True))
+        np.testing.assert_allclose(np.asarray(logits), ref[:, -1, :], rtol=1e-4, atol=1e-4)
+
+    def test_token_steps_match_single_stream_chunk1(self):
+        """Trained-like gates, multi-layer: the batched tap-dot decoder and
+        the single-stream full-window-FFT decoder are the SAME algorithm —
+        their per-token hidden states must agree to float tolerance."""
+        from spectral_tpu.streaming.overlap_save_batch import OverlapSaveBatch
+
+        cfg, model, params = self._setup(open_freq_gate=False, active_ctx_gate=True)
+        rng = np.random.default_rng(12)
+        T = cfg.seq_len
+        init_ids = rng.integers(0, 256, (1, T)).astype(np.int32)
+
+        single = OverlapSaveStream(params, cfg)
+        s_state = single.init_state(init_ids)
+        batch = OverlapSaveBatch(params, cfg)
+        b_state, b_logits = batch.init_state(init_ids)
+
+        np.testing.assert_allclose(
+            np.asarray(b_logits),
+            np.asarray(single.tied_last_logits(s_state)), rtol=1e-4, atol=1e-4)
+
+        for t in range(6):
+            nb = int(rng.integers(0, 256))
+            s_state = single.update_chunk(s_state, [nb])
+            b_state, b_logits = batch.next_logits(b_state, np.asarray([nb], np.int32))
+            np.testing.assert_allclose(
+                np.asarray(b_logits),
+                np.asarray(single.tied_last_logits(s_state)),
+                rtol=2e-4, atol=2e-4, err_msg=f"token {t}")
+
+    def test_batched_streams_match_independent_runs(self):
+        """Three concurrent streams must produce the same logits as three
+        independent single-stream runs (no cross-stream leakage)."""
+        from spectral_tpu.streaming.overlap_save_batch import OverlapSaveBatch
+
+        cfg, model, params = self._setup(open_freq_gate=False, active_ctx_gate=True)
+        rng = np.random.default_rng(13)
+        T = cfg.seq_len
+        ids = rng.integers(0, 256, (3, T)).astype(np.int32)
+        toks = rng.integers(0, 256, (4, 3)).astype(np.int32)
+
+        dec = OverlapSaveBatch(params, cfg)
+        state, logits = dec.init_state(ids)
+        got = [np.asarray(logits)]
+        for t in range(4):
+            state, logits = dec.next_logits(state, toks[t])
+            got.append(np.asarray(logits))
+
+        for j in range(3):
+            state1, l1 = dec.init_state(ids[j:j+1])
+            np.testing.assert_allclose(got[0][j], np.asarray(l1)[0], rtol=2e-4, atol=2e-4)
+            for t in range(4):
+                state1, l1 = dec.next_logits(state1, toks[t, j:j+1])
+                np.testing.assert_allclose(
+                    got[t + 1][j], np.asarray(l1)[0], rtol=2e-4, atol=2e-4,
+                    err_msg=f"stream {j} token {t}")
+
+    def test_generate_batch_smoke_and_determinism(self):
+        from spectral_tpu.streaming.overlap_save_batch import (
+            OverlapSaveBatch,
+            overlap_save_generate_batch,
+        )
+
+        cfg, model, params = self._setup(open_freq_gate=False, active_ctx_gate=True)
+        dec = OverlapSaveBatch(params, cfg)
+        prompts = ["once upon a time", "def main():"]
+        a = overlap_save_generate_batch(dec, prompts, max_new=12, seed=5)
+        b = overlap_save_generate_batch(dec, prompts, max_new=12, seed=5)
+        assert a == b
+        assert all(len(s.encode("utf-8", errors="replace")) >= len(p.encode()) + 12
+                   for s, p in zip(a, prompts))
