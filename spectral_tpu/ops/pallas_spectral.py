@@ -1,10 +1,26 @@
 """Fused Pallas spectral-conv kernel: rFFT -> complex filter -> irFFT in one
 VMEM-resident pass.
 
-This is the BASELINE.json north-star kernel: the hot path of every spectral
-block (reference: the cuFFT round-trips in train_fixed_full.py:507-555 and
-the absent ``fft_tensor_cuda`` extension) executed without touching HBM
-between the transforms.
+STATUS (round 3): RETIRED as a training route.  This was the round-1
+north-star kernel; the round-2 fused whole-block kernel
+(ops/pallas_block.py, 27.4 vs 45.1 ms/step at the flagship recipe,
+BENCH_r02.json) and the round-3 positionwise tail route
+(ops/pallas_tail.py, any seq) superseded it for training.  It is KEPT for
+exactly three jobs and nothing else:
+  1. the sequence-parallel LOCAL backend (parallel/distributed_fft.py
+     dispatches backend="pallas" for the per-shard full-length conv);
+  2. the driver-tracked custom-vjp canary (bench.py --backend pallas /
+     the `pallas_*` fields of the train-step metric line);
+  3. the in-kernel Stockham/four-step FFT reference implementation — the
+     negative-result ladder documenting why in-kernel FFT lost to the
+     Toeplitz matmul (BENCHMARKS.md round 2).
+Do not extend its training path; new fused work belongs in
+pallas_block.py / pallas_tail.py.
+
+This is the BASELINE.json north-star kernel of round 1: the hot path of
+every spectral block (reference: the cuFFT round-trips in
+train_fixed_full.py:507-555 and the absent ``fft_tensor_cuda`` extension)
+executed without touching HBM between the transforms.
 
 Design:
 * grid = (B, C/C_BLOCK); each program owns a (n_fft, C_BLOCK) panel.
