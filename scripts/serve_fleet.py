@@ -1,0 +1,85 @@
+"""Fleet serving CLI: N concurrent generation streams in one device program.
+
+Two paths (spectral_tpu/streaming):
+  --mode exact  (default) — batched overlap-save, FULL gate stack: the
+                reference's README-recommended decoder math
+                (generate_chunked_overlap_save.py:78-206), batched —
+                quality matches eval_ckpt's sampler.
+  --mode fir    — batched FIR: O(K)/token approximation (drops the per-bin
+                frequency gate; reference stream_generate_fast.py:93-96).
+
+Usage:
+    python -m scripts.serve_fleet --ckpt checkpoints/code_d512x6.msgpack \
+        --prompt "def main():" --streams 8 --max-new 256 [--mode fir]
+    python -m scripts.serve_fleet --prompts-file prompts.txt   # one per line
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from scripts._common import apply_platform_env
+
+
+def main(argv=None) -> None:
+    apply_platform_env()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", default="fixed_spectral_ckpt.msgpack")
+    ap.add_argument("--prompt", default="Once upon a time")
+    ap.add_argument("--prompts-file", default=None,
+                    help="file with one prompt per line (overrides --prompt/--streams)")
+    ap.add_argument("--streams", type=int, default=8)
+    ap.add_argument("--max-new", type=int, default=256)
+    ap.add_argument("--mode", choices=["exact", "fir"], default="exact")
+    ap.add_argument("--temperature", type=float, default=0.9)
+    ap.add_argument("--top-p", type=float, default=0.92)
+    ap.add_argument("--rep", type=float, default=1.25)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from spectral_tpu.models.config import TrainConfig
+    from spectral_tpu.train.ckpt import load_checkpoint
+    from spectral_tpu.train.sampling import safe_console
+
+    ck = load_checkpoint(args.ckpt)
+    cfg = TrainConfig.from_dict(ck.get("cfg", {}))
+    cfg = cfg.replace(temperature=args.temperature, top_p=args.top_p,
+                      repetition_penalty=args.rep, dropout=0.0)
+    params = ck["params"]
+    if "backbone" in params:  # ChunkLM-style checkpoint
+        params = params["backbone"]
+
+    if args.prompts_file:
+        with open(args.prompts_file) as f:
+            prompts = [ln.rstrip("\n") for ln in f if ln.strip()]
+    else:
+        prompts = [f"{args.prompt}" for _ in range(args.streams)]
+
+    t0 = time.perf_counter()
+    if args.mode == "exact":
+        from spectral_tpu.streaming.overlap_save_batch import (
+            OverlapSaveBatch,
+            overlap_save_generate_batch,
+        )
+
+        dec = OverlapSaveBatch(params, cfg)
+        outs = overlap_save_generate_batch(dec, prompts, max_new=args.max_new,
+                                           seed=args.seed)
+    else:
+        from spectral_tpu.streaming.fir import FIRStream, fir_generate_batch
+
+        stream = FIRStream(params, cfg)
+        outs = fir_generate_batch(stream, prompts, max_new=args.max_new,
+                                  seed=args.seed)
+    dt = time.perf_counter() - t0
+
+    for i, o in enumerate(outs):
+        print(f"\n=== stream {i} ===\n{safe_console(o)}")
+    n = len(prompts) * args.max_new
+    print(f"\n[{args.mode}] {len(prompts)} streams x {args.max_new} bytes in "
+          f"{dt:.2f}s (incl. compile) = {n/dt:.0f} bytes/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

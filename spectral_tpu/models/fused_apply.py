@@ -128,15 +128,21 @@ def fused_block_apply_tail(
 
     if conv_backend == "auto":
         conv_backend = "direct" if T <= 2048 else "matmul"
+    # conv precision follows the compute dtype: bf16 training mode runs the
+    # conv matmuls at DEFAULT (1-pass bf16) — the configuration the seq-4096
+    # descent gate validated; fp32 mode keeps HIGHEST for parity tests
+    prec = (jax.lax.Precision.HIGHEST if jnp.dtype(compute_dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     if conv_backend == "direct":
         from spectral_tpu.ops.toeplitz import spectral_conv_direct
 
-        conv = spectral_conv_direct(xn, h_fused, n_fft)
+        conv = spectral_conv_direct(xn, h_fused, n_fft, precision=prec)
     else:
         from spectral_tpu.ops.matfft import spectral_conv_matmul
 
         conv = jnp.swapaxes(
-            spectral_conv_matmul(jnp.swapaxes(xn, 1, 2), h_fused, n_fft), 1, 2
+            spectral_conv_matmul(jnp.swapaxes(xn, 1, 2), h_fused, n_fft,
+                                 precision=prec), 1, 2
         )
 
     p = 0.0 if deterministic else dropout
