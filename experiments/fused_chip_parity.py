@@ -89,6 +89,14 @@ def main() -> None:
     apply_platform_env()
     import jax
 
+    # TPU matmuls at DEFAULT precision round fp32 inputs to bf16 (2e-3 rel
+    # class — CLAUDE.md).  The flax oracle's Dense layers use DEFAULT, the
+    # in-kernel Mosaic dots don't replicate that rounding, so a DEFAULT run
+    # measures precision mismatch, not kernel correctness (first run: 8e-4
+    # fwd / 4e-3 grad, worst on the pooled gate path).  Pin everything to
+    # true fp32 so the gate isolates the compiled kernel's math.
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     print(f"backend: {jax.default_backend()}", flush=True)
 
     common = dict(d_model=512, n_layers=args.layers, kernel_len=128,
