@@ -56,40 +56,70 @@ class SpectralEMA(nn.Module):
     def init_state(batch: int, n_freqs: int) -> jax.Array:
         return jnp.zeros((batch, n_freqs), jnp.complex64)
 
-    def update(self, state: jax.Array, fft_chunk: jax.Array) -> jax.Array:
-        """One EMA step.  state/fft_chunk: [B, F] complex64."""
-        a, rho, one_minus_rho = self.decay_params()
+    def _update_ri(self, sre, sim, fre, fim):
+        """One EMA step on REAL/IMAG planes ([B, F] fp32 each).
 
-        from spectral_tpu.ops.complex_utils import safe_magnitude_phase
+        Same arithmetic as the complex form, spelled out on pairs — the
+        tunneled TPU backend hangs compiling a lax.scan with a complex64
+        carry (chip-bisected: ChunkLM+EMA forward never returned while the
+        no-EMA twin ran fine), and real planes are the repo's standard
+        workaround for backend complex gaps (core/tensor.py scatter,
+        ops/pallas_spectral.py).  Complex multiply (a+bi)(c+di) =
+        (ac-bd) + (ad+bc)i is exactly what XLA emits for complex64, so the
+        numerics are bit-identical (CPU parity test pins it).
+        """
+        from spectral_tpu.ops.complex_utils import safe_magnitude_phase_ri
 
+        a_cplx, rho, one_minus_rho = self.decay_params()
         if self.mode == "polar":
-            m_prev, _ = safe_magnitude_phase(state)
-            m_cur, phi = safe_magnitude_phase(fft_chunk)
+            m_prev, _ = safe_magnitude_phase_ri(sre, sim)
+            m_cur, phi = safe_magnitude_phase_ri(fre, fim)
             m_new = rho[None] * m_prev + one_minus_rho[None] * m_cur
-            return _polar(m_new, phi)
-
+            return m_new * jnp.cos(phi), m_new * jnp.sin(phi)
         if self.mode != "aligned":
             raise ValueError(f"Unknown SpectralEMA mode: {self.mode}")
+        a_re, a_im = jnp.real(a_cplx), jnp.imag(a_cplx)
+        _, prev_ang = safe_magnitude_phase_ri(sre, sim)
+        _, cur_ang = safe_magnitude_phase_ri(fre, fim)
+        d = cur_ang - prev_ang
+        rot_re, rot_im = jnp.cos(d), jnp.sin(d)
+        al_re = sre * rot_re - sim * rot_im
+        al_im = sre * rot_im + sim * rot_re
+        new_re = a_re[None] * al_re - a_im[None] * al_im + one_minus_rho[None] * fre
+        new_im = a_re[None] * al_im + a_im[None] * al_re + one_minus_rho[None] * fim
+        return new_re, new_im
 
-        # phase-aligned EMA: rotate prev state to the new signal's phase first
-        _, prev_ang = safe_magnitude_phase(state)
-        _, cur_ang = safe_magnitude_phase(fft_chunk)
-        rot = _polar(jnp.ones_like(prev_ang), cur_ang - prev_ang)
-        state_aligned = state * rot
-        return a[None] * state_aligned + one_minus_rho[None].astype(jnp.complex64) * fft_chunk
+    def update(self, state: jax.Array, fft_chunk: jax.Array) -> jax.Array:
+        """One EMA step.  state/fft_chunk: [B, F] complex64."""
+        new_re, new_im = self._update_ri(
+            jnp.real(state), jnp.imag(state),
+            jnp.real(fft_chunk), jnp.imag(fft_chunk),
+        )
+        return jax.lax.complex(new_re, new_im)
 
     def scan(self, fft_chunks: jax.Array, init: Optional[jax.Array] = None) -> jax.Array:
-        """EMA over a [B, S, F] complex chunk sequence -> final [B, F] state."""
+        """EMA over a [B, S, F] complex chunk sequence -> final [B, F] state.
+
+        The scan CARRY is a (re, im) pair of fp32 planes — never complex64
+        (see _update_ri for the chip finding); input/output stay complex at
+        the API boundary (in-graph complex compute is fine, only the
+        complex scan carry hangs)."""
         B, S, F = fft_chunks.shape
         assert F == self.n_freqs
-        state = init if init is not None else self.init_state(B, F)
+        if init is not None:
+            s0 = (jnp.real(init), jnp.imag(init))
+        else:
+            z = jnp.zeros((B, F), jnp.float32)
+            s0 = (z, z)
+        seq = jnp.swapaxes(fft_chunks, 0, 1)
 
         def step(carry, chunk):
-            new = self.update(carry, chunk)
+            new = self._update_ri(carry[0], carry[1],
+                                  jnp.real(chunk), jnp.imag(chunk))
             return new, None
 
-        final, _ = jax.lax.scan(step, state, jnp.swapaxes(fft_chunks, 0, 1))
-        return final
+        (fre, fim), _ = jax.lax.scan(step, s0, seq)
+        return jax.lax.complex(fre, fim)
 
     def __call__(self, fft_chunks: jax.Array, init: Optional[jax.Array] = None) -> jax.Array:
         return self.scan(fft_chunks, init)

@@ -19,8 +19,13 @@ import jax.numpy as jnp
 
 def safe_magnitude_phase(z: jax.Array) -> tuple[jax.Array, jax.Array]:
     """(|z|, angle(z)) with zero — not NaN — gradients at z == 0."""
-    re = jnp.real(z)
-    im = jnp.imag(z)
+    return safe_magnitude_phase_ri(jnp.real(z), jnp.imag(z))
+
+
+def safe_magnitude_phase_ri(re: jax.Array, im: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """:func:`safe_magnitude_phase` on (re, im) PLANES — for code paths that
+    must stay complex-dtype-free (e.g. scan carries; the tunneled TPU
+    backend hangs on complex64 scan carries, models/spectral_ssm.py)."""
     zero = (re == 0) & (im == 0)
     re_s = jnp.where(zero, 1.0, re)
     im_s = jnp.where(zero, 0.0, im)
