@@ -25,7 +25,7 @@ CASES = {
 }
 
 
-def bench_case(name, d, L, T, B, A, iters=30):
+def bench_case(name, d, L, T, B, A, iters=30, tail_conv="auto"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -42,8 +42,11 @@ def bench_case(name, d, L, T, B, A, iters=30):
     cfg = TrainConfig(
         d_model=d, n_layers=L, seq_len=T, kernel_len=128, batch_size=B,
         accum_steps=A, use_fused_block=True, compute_dtype="bfloat16",
+        tail_conv_backend=tail_conv,
     )
     path = fused_path_for(T, d, 2 * d)
+    if path == "tail" and tail_conv != "auto":
+        path = f"tail/{tail_conv}"
     model, params = init_model(cfg)
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
@@ -93,6 +96,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cases", default="seq8192,d1024")
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--tail-conv", default="auto",
+                    choices=["auto", "direct", "matmul"],
+                    help="override cfg.tail_conv_backend for the tail route")
     args = ap.parse_args()
 
     from spectral_tpu.utils.platform import apply_platform_env
@@ -100,7 +106,8 @@ def main() -> None:
     apply_platform_env()
     for name in args.cases.split(","):
         d, L, T, B, A = CASES[name.strip()]
-        bench_case(name.strip(), d, L, T, B, A, iters=args.iters)
+        bench_case(name.strip(), d, L, T, B, A, iters=args.iters,
+                   tail_conv=args.tail_conv)
 
 
 if __name__ == "__main__":

@@ -86,6 +86,11 @@ class TrainConfig:
     # not bit-identical to the flax path).  Training-path only; eval and
     # decode go through the canonical flax module.
     use_fused_block: bool = False
+    # conv backend for the long-sequence fused ("tail") route:
+    # "auto" (shape-based dispatch in models/fused_apply.py), "direct"
+    # (Toeplitz matmul — full MXU, O(T^2 B C) but tiny constants), or
+    # "matmul" (four-step matmul-FFT, O(T log T) with large constants).
+    tail_conv_backend: str = "auto"
     # PRNG implementation for dropout keys: "rbg" uses the TPU's hardware
     # RNG and makes dropout ~free; "threefry2x32" (JAX's default) costs
     # ~0.58 ms/block/micro-batch at the flagship shape — 35% of the block's

@@ -207,7 +207,9 @@ def fused_lm_apply(
                 kernel_len=cfg.kernel_len, transition_bins=cfg.jpeg_transition,
                 dropout=cfg.dropout, seed=layer_seed,
                 deterministic=det, causal_taps=cfg.causal_taps,
-                compute_dtype=cfg.compute_dtype, interpret=interpret,
+                compute_dtype=cfg.compute_dtype,
+                conv_backend=getattr(cfg, "tail_conv_backend", "auto"),
+                interpret=interpret,
             )
     h = _layernorm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
     cdt = jnp.dtype(cfg.compute_dtype)
