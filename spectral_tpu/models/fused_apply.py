@@ -127,7 +127,11 @@ def fused_block_apply_tail(
         h_fused = causal_filter_taps(h_fused, n_fft, jnp.int32(n_fft - T))
 
     if conv_backend == "auto":
-        conv_backend = "direct" if T <= 2048 else "matmul"
+        # Chip-measured crossover (experiments/profile_longseq, d512x6 at
+        # 32768 tok/step): direct Toeplitz 76.9 ms vs matmul-FFT 95.3 ms at
+        # seq 4096 (1.24x), but 240.9 vs 106.2 ms at seq 8192 — the O(T^2)
+        # term overtakes the FFT's large constants between 4k and 8k.
+        conv_backend = "direct" if T <= 4096 else "matmul"
     # conv precision follows the compute dtype: bf16 training mode runs the
     # conv matmuls at DEFAULT (1-pass bf16) — the configuration the seq-4096
     # descent gate validated; fp32 mode keeps HIGHEST for parity tests
