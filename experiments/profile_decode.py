@@ -1,0 +1,209 @@
+"""Attribute the exact decoder's per-token cost (ROADMAP r3 stretch:
+"serving is scan-latency-bound") — measure WHERE the ~0.5 ms/token at B=8
+goes before building a fused decode kernel.
+
+Variants (all scan ``n`` tokens inside ONE jit, marginal cost t(N)-t(1),
+value-fetch sync — the CLAUDE.md chip-timing rules):
+
+  full        OverlapSaveBatch._token_step as shipped ([N,T,C] bufs)
+  layout-ct   same math, bufs stored [N,C,T] (tap contraction on lanes)
+  no-write    conv read WITHOUT the buffer DUS write (attribution only —
+              NOT exact; isolates the scan-carry copy cost, if any)
+  conv-only   conv dot + residual only (drops gates + FFN + final logits)
+  sampler     DeviceSampler penalty stack alone (no backbone)
+
+Run (chip, background; ~2 min compile per variant):
+    python -m experiments.profile_decode [--batches 8 32 128] [--tokens 512]
+
+Chip results (d512x6 K128 artifact, 512-token scans, min of 3):
+
+    B=8    full 26.7 us/tok   layout-ct 95.0   no-write 29.8   sampler 18.2
+    B=128  full 1160.9 us/tok (9.1 us/stream)                  sampler 41.9
+
+Findings (BENCHMARKS.md "decode cost attribution"):
+  1. the shipped [N,T,C] buffer layout is right — [N,C,T] is 3.5x worse
+     (the token write becomes a cross-lane scatter: no-write 29.8 vs
+     with-write 95.0 in ct layout; in tc layout the write is free);
+  2. the scan itself supports ~300K bytes/s fleet at B=8 and ~110K at
+     B=128 — far above the measured end-to-end serving rates, so serving
+     is prefill+RTT-amortization-bound, not decode-bound;
+  3. B=128 is HBM-bound on the per-token window read (6 layers x
+     [128,1024,512] fp32 = 1.6 GB/token ~ 1.9 ms roofline vs 1.16
+     measured incl. partial VMEM residency) — a bf16 buffer store is the
+     remaining 2x.
+
+NOTE --tokens 64 is too small: the marginal (t(N)-t(1)) sits inside the
+multi-ms tunnel RTT jitter and produces nonsense (negative sampler
+times).  512+ makes device time dominate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def build_variants(params, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from spectral_tpu.streaming.fir import DeviceSampler, _ffn, _layernorm
+    from spectral_tpu.streaming.overlap_save_batch import OverlapSaveBatch
+
+    dec = OverlapSaveBatch(params, cfg)
+    params = dec.params  # jnp-converted tree (ckpt trees are numpy)
+    T, L = dec.T, dec.n_layers
+    taps_list = [dec._layer_taps(params[f"block_{i}"]) for i in range(L)]
+
+    def step_full(state, x_id):
+        return dec._token_step(params, taps_list, state, x_id)
+
+    def block_ct(bp, taps, x_t, buf_ct, ptr, *, write=True, tail=True):
+        # buf_ct: [N, C, T] — tap contraction along the minor (lane) dim
+        xn = _layernorm(x_t, bp["ln"]["scale"], bp["ln"]["bias"])
+        if write:
+            buf_ct = jax.lax.dynamic_update_slice(
+                buf_ct, xn[:, :, None], (0, 0, ptr))
+        w = jnp.roll(taps[::-1], ptr + 1)
+        R = jnp.stack([w, jnp.full((T,), 1.0 / T, jnp.float32)])  # [2, T]
+        res = jnp.einsum("nct,rt->nrc", buf_ct, R)
+        y_raw, pooled = res[:, 0, :], res[:, 1, :]
+        if not tail:
+            return x_t + y_raw, buf_ct
+        g_ctx = jax.nn.sigmoid(
+            pooled @ bp["gate_ctx"]["kernel"] + bp["gate_ctx"]["bias"])
+        y = y_raw * (bp["gain"][None, :] * g_ctx)
+        return _ffn(bp["ffn"], x_t + y), buf_ct
+
+    def make_step_ct(write=True, tail=True, logits=True):
+        def step(state, x_id):
+            bufs, ptr = state
+            h = params["embed"]["embedding"][x_id]
+            new_bufs = []
+            for i in range(L):
+                h, b = block_ct(params[f"block_{i}"], taps_list[i], h,
+                                bufs[i], ptr, write=write, tail=tail)
+                new_bufs.append(b)
+            if logits:
+                h = _layernorm(h, params["ln_f"]["scale"],
+                               params["ln_f"]["bias"])
+                h = h @ params["embed"]["embedding"].T
+            else:
+                h = h[:, :256]
+            return (new_bufs, (ptr + 1) % T), h
+
+        return step
+
+    sampler = DeviceSampler(cfg)
+    return dec, {
+        "full": ("tc", step_full),
+        "layout-ct": ("ct", make_step_ct()),
+        "no-write": ("ct", make_step_ct(write=False)),
+        "conv-only": ("ct", make_step_ct(tail=False, logits=False)),
+    }, sampler
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="checkpoints/code_d512x6.msgpack")
+    ap.add_argument("--batches", type=int, nargs="*", default=[8, 128])
+    ap.add_argument("--tokens", type=int, default=64)
+    ap.add_argument("--variants", default="full,layout-ct,no-write,conv-only,sampler")
+    args = ap.parse_args()
+
+    from spectral_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spectral_tpu.models.config import TrainConfig
+    from spectral_tpu.train.ckpt import load_checkpoint
+
+    ckpt = load_checkpoint(args.ckpt)
+    cfg = TrainConfig(**{**ckpt["cfg"], "dropout": 0.0})
+    params = ckpt["params"]
+    dec, variants, sampler = build_variants(params, cfg)
+    T = dec.T
+    want = [v.strip() for v in args.variants.split(",")]
+
+    for B in args.batches:
+        ids = np.random.default_rng(0).integers(32, 127, (B, T)).astype(np.int32)
+        (bufs, ptr), logits0 = dec.init_state(ids)
+
+        seq = iter(range(33, 127))  # distinct token per dispatch: the
+        # tunneled chip serves REPEATED (executable, inputs) pairs from a
+        # value cache (CLAUDE.md rule 1) — never reuse an input
+
+        def timed(fn, n):
+            # fn(n, tok) -> float forces a VALUE fetch (true sync on the
+            # tunneled chip; block_until_ready under-reports)
+            best = float("inf")
+            for _ in range(3):
+                tok = next(seq)
+                t0 = time.perf_counter()
+                fn(n, tok)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        for name in want:
+            if name == "sampler":
+                continue
+            layout, step = variants[name]
+            b = bufs if layout == "tc" else [jnp.swapaxes(x, 1, 2) for x in bufs]
+            state0 = (b, ptr)
+
+            def run(state0, tok0, n, step=step):
+                def body(c, x):
+                    st, tok = c
+                    st, lg = step(st, tok)
+                    tok = jnp.argmax(lg[:, :256], axis=-1).astype(jnp.int32)
+                    return (st, tok), lg[0, 0]
+
+                (_, _), out = jax.lax.scan(
+                    body, (state0, jnp.full((B,), tok0, jnp.int32)), None,
+                    length=n)
+                return jnp.sum(out)
+
+            runj = jax.jit(run, static_argnums=2)
+            float(runj(state0, 32, 1)), float(runj(state0, 32, args.tokens))
+            dt1 = timed(lambda n, t: float(runj(state0, t, n)), 1)
+            dtN = timed(lambda n, t: float(runj(state0, t, n)), args.tokens)
+            per = (dtN - dt1) / (args.tokens - 1)
+            print(f"B={B:<4} {name:<10} {per*1e6:9.1f} us/token "
+                  f"({B/per:,.0f} bytes/s fleet)", flush=True)
+
+        if "sampler" in want:
+            samp_states = jax.tree.map(
+                lambda *l: jnp.stack(l), *[sampler.init_state([32]) for _ in range(B)])
+
+            def run_s(logits0, samp_states, seed, n):
+                def body(c, x):
+                    lg, ss, rng = c
+                    l = jax.vmap(sampler.process_logits)(lg, ss)
+                    rng, sub = jax.random.split(rng)
+                    subs = jax.random.split(sub, B)
+                    nxt, ss = jax.vmap(sampler.draw_and_update)(subs, l, ss)
+                    lg = lg + nxt[:, None] * 1e-6  # keep the chain live
+                    return (lg, ss, rng), nxt[0]
+
+                (_, _, _), out = jax.lax.scan(
+                    body, (logits0, samp_states, jax.random.PRNGKey(seed)),
+                    None, length=n)
+                return jnp.sum(out)
+
+            runj = jax.jit(run_s, static_argnums=3)
+            float(runj(logits0, samp_states, 0, 1))
+            float(runj(logits0, samp_states, 0, args.tokens))
+            dt1 = timed(lambda n, t: float(runj(logits0, samp_states, t, n)), 1)
+            dtN = timed(
+                lambda n, t: float(runj(logits0, samp_states, t, n)),
+                args.tokens)
+            per = (dtN - dt1) / (args.tokens - 1)
+            print(f"B={B:<4} {'sampler':<10} {per*1e6:9.1f} us/token", flush=True)
+
+
+if __name__ == "__main__":
+    main()
