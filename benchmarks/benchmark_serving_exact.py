@@ -67,28 +67,53 @@ def main() -> None:
 
     fir = FIRStream(params, cfg)
     exact = OverlapSaveBatch(params, cfg)
+    exact16 = OverlapSaveBatch(params, cfg, buf_dtype="bfloat16")
 
     def prompts_for(B):
         return [f"{PROMPTS[i % len(PROMPTS)]} # stream {i}\n" for i in range(B)]
 
-    print(f"\n{'B':>4} {'path':<14} {'bytes/s':>10} {'ms/token':>9}", flush=True)
+    # Two generation lengths per path: the short run carries the same
+    # prefill + dispatch overhead, so (dt_long - dt_short)/(long - short)
+    # is the steady-state decode cost and the remainder is attributed
+    # prefill+RTT (profile_decode showed end-to-end bytes/s at short
+    # generations is dominated by it).
+    short = max(16, max_new // 8)
+    print(f"\n{'B':>4} {'path':<14} {'bytes/s':>9} {'steady':>9} "
+          f"{'ms/tok':>7} {'prefill_ms':>10}", flush=True)
     rows = []
     sample_text = None
     for B in args.batches:
         prompts = prompts_for(B)
         for name, fn in (
-            ("fir", lambda s: fir_generate_batch(fir, prompts, max_new=max_new, seed=s)),
-            ("exact-osave", lambda s: overlap_save_generate_batch(exact, prompts, max_new=max_new, seed=s)),
+            ("fir", lambda s, m: fir_generate_batch(fir, prompts, max_new=m, seed=s)),
+            ("exact-osave", lambda s, m: overlap_save_generate_batch(exact, prompts, max_new=m, seed=s)),
+            ("exact-bf16", lambda s, m: overlap_save_generate_batch(exact16, prompts, max_new=m, seed=s)),
         ):
-            fn(0)  # compile/warm
-            # different seed for the timed call: identical (executable,
-            # inputs) dispatches can be value-cached on the tunneled chip
-            t0 = time.perf_counter()
-            outs = fn(1)
-            dt = time.perf_counter() - t0
+            fn(0, short), fn(0, max_new)  # compile/warm both lengths
+            # min of 3 with a DISTINCT seed per timed call: identical
+            # (executable, inputs) dispatches can be value-cached on the
+            # tunneled chip, and single dispatches carry >10 ms RTT jitter
+            outs, dts, dt = None, float("inf"), float("inf")
+            for rep in range(3):
+                t0 = time.perf_counter()
+                fn(1 + 2 * rep, short)
+                dts = min(dts, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                o = fn(2 + 2 * rep, max_new)
+                d = time.perf_counter() - t0
+                if d < dt:
+                    dt, outs = d, o
+            marg = (dt - dts) / (max_new - short)
             bps = B * max_new / dt
-            rows.append((B, name, bps, dt * 1e3 / max_new))
-            print(f"{B:>4} {name:<14} {bps:>10.1f} {dt*1e3/max_new:>9.2f}", flush=True)
+            # the marginal is only meaningful when the decode delta clears
+            # the jitter floor; otherwise report end-to-end only
+            ok = dt - dts > 0.02
+            steady = B / marg if ok else float("nan")
+            fixed = max(dts - short * marg, 0.0) if ok else float("nan")
+            rows.append((B, name, bps, steady, marg * 1e3 if ok else float("nan"),
+                         fixed * 1e3))
+            print(f"{B:>4} {name:<14} {bps:>9.0f} {steady:>9.0f} "
+                  f"{marg*1e3:>7.3f} {fixed*1e3:>10.1f}", flush=True)
             if name == "exact-osave" and sample_text is None:
                 sample_text = outs[0]
 
@@ -99,10 +124,16 @@ def main() -> None:
     # machine-readable summary for BENCHMARKS.md
     import json
 
+    def _r(x, nd):
+        return None if x != x else round(x, nd)  # NaN -> null
+
     print("\n" + json.dumps({
         "rows": [{"B": b, "path": n, "bytes_per_sec": round(v, 1),
-                  "ms_per_token": round(m, 3)} for b, n, v, m in rows],
-        "max_new": max_new,
+                  "steady_bytes_per_sec": _r(sv, 1),
+                  "ms_per_token_marginal": _r(m, 3),
+                  "prefill_fixed_ms": _r(f, 1)}
+                 for b, n, v, sv, m, f in rows],
+        "max_new": max_new, "short": short,
     }), flush=True)
 
 

@@ -18,7 +18,8 @@ Run (chip, background; ~2 min compile per variant):
 Chip results (d512x6 K128 artifact, 512-token scans, min of 3):
 
     B=8    full 26.7 us/tok   layout-ct 95.0   no-write 29.8   sampler 18.2
-    B=128  full 1160.9 us/tok (9.1 us/stream)                  sampler 41.9
+    B=32   full 191.8         full-bf16 189.0                  sampler 24.5
+    B=128  full 1158.3 (9.1 us/stream)  full-bf16 1161.0       sampler 44.7
 
 Findings (BENCHMARKS.md "decode cost attribution"):
   1. the shipped [N,T,C] buffer layout is right — [N,C,T] is 3.5x worse
@@ -27,10 +28,10 @@ Findings (BENCHMARKS.md "decode cost attribution"):
   2. the scan itself supports ~300K bytes/s fleet at B=8 and ~110K at
      B=128 — far above the measured end-to-end serving rates, so serving
      is prefill+RTT-amortization-bound, not decode-bound;
-  3. B=128 is HBM-bound on the per-token window read (6 layers x
-     [128,1024,512] fp32 = 1.6 GB/token ~ 1.9 ms roofline vs 1.16
-     measured incl. partial VMEM residency) — a bf16 buffer store is the
-     remaining 2x.
+  3. bf16 window buffers buy NOTHING (1161.0 vs 1158.3 us/token at
+     B=128): the skinny [N,T,C] x [2,T] tap-dot does not consume bf16
+     natively, so the halved store never becomes halved traffic — the
+     exact fp32 decoder is unconditionally the serving path.
 
 NOTE --tokens 64 is too small: the marginal (t(N)-t(1)) sits inside the
 multi-ms tunnel RTT jitter and produces nonsense (negative sampler
@@ -51,12 +52,16 @@ def build_variants(params, cfg):
     from spectral_tpu.streaming.overlap_save_batch import OverlapSaveBatch
 
     dec = OverlapSaveBatch(params, cfg)
+    dec16 = OverlapSaveBatch(params, cfg, buf_dtype="bfloat16")
     params = dec.params  # jnp-converted tree (ckpt trees are numpy)
     T, L = dec.T, dec.n_layers
     taps_list = [dec._layer_taps(params[f"block_{i}"]) for i in range(L)]
 
     def step_full(state, x_id):
         return dec._token_step(params, taps_list, state, x_id)
+
+    def step_bf16(state, x_id):
+        return dec16._token_step(dec16.params, taps_list, state, x_id)
 
     def block_ct(bp, taps, x_t, buf_ct, ptr, *, write=True, tail=True):
         # buf_ct: [N, C, T] — tap contraction along the minor (lane) dim
@@ -97,6 +102,7 @@ def build_variants(params, cfg):
     sampler = DeviceSampler(cfg)
     return dec, {
         "full": ("tc", step_full),
+        "full-bf16": ("tc16", step_bf16),
         "layout-ct": ("ct", make_step_ct()),
         "no-write": ("ct", make_step_ct(write=False)),
         "conv-only": ("ct", make_step_ct(tail=False, logits=False)),
@@ -108,7 +114,9 @@ def main() -> None:
     ap.add_argument("--ckpt", default="checkpoints/code_d512x6.msgpack")
     ap.add_argument("--batches", type=int, nargs="*", default=[8, 128])
     ap.add_argument("--tokens", type=int, default=64)
-    ap.add_argument("--variants", default="full,layout-ct,no-write,conv-only,sampler")
+    ap.add_argument(
+        "--variants",
+        default="full,full-bf16,layout-ct,no-write,conv-only,sampler")
     args = ap.parse_args()
 
     from spectral_tpu.utils.platform import apply_platform_env
@@ -152,7 +160,12 @@ def main() -> None:
             if name == "sampler":
                 continue
             layout, step = variants[name]
-            b = bufs if layout == "tc" else [jnp.swapaxes(x, 1, 2) for x in bufs]
+            if layout == "tc":
+                b = bufs
+            elif layout == "tc16":
+                b = [x.astype(jnp.bfloat16) for x in bufs]
+            else:
+                b = [jnp.swapaxes(x, 1, 2) for x in bufs]
             state0 = (b, ptr)
 
             def run(state0, tok0, n, step=step):

@@ -32,6 +32,11 @@ def main(argv=None) -> None:
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--max-new", type=int, default=256)
     ap.add_argument("--mode", choices=["exact", "fir"], default="exact")
+    ap.add_argument("--buf-dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="exact mode: bf16 window buffers (measured: no "
+                         "speedup at d512x6 fleet shapes — see STREAMING.md; "
+                         "float32 default = bit-exact AND fast)")
     ap.add_argument("--temperature", type=float, default=0.9)
     ap.add_argument("--top-p", type=float, default=0.92)
     ap.add_argument("--rep", type=float, default=1.25)
@@ -63,7 +68,7 @@ def main(argv=None) -> None:
             overlap_save_generate_batch,
         )
 
-        dec = OverlapSaveBatch(params, cfg)
+        dec = OverlapSaveBatch(params, cfg, buf_dtype=args.buf_dtype)
         outs = overlap_save_generate_batch(dec, prompts, max_new=args.max_new,
                                            seed=args.seed)
     else:

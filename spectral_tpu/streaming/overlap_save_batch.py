@@ -47,7 +47,8 @@ class OverlapSaveBatch:
     pointer.  ``seq_len`` is the sliding window length (cfg.seq_len).
     """
 
-    def __init__(self, params: dict, cfg: TrainConfig):
+    def __init__(self, params: dict, cfg: TrainConfig,
+                 buf_dtype: str = "float32"):
         self.params = jax.tree.map(jnp.asarray, params)
         self.cfg = cfg
         self.n_layers = cfg.n_layers
@@ -55,6 +56,14 @@ class OverlapSaveBatch:
         self.kernel_len = cfg.kernel_len
         self.causal_taps = getattr(cfg, "causal_taps", True)
         self.n_fft = conv_n_fft(cfg.seq_len, cfg.kernel_len)
+        # "bfloat16" stores the [N, T, C] windows in bf16 (fp32
+        # accumulation in the tap-dot, everything downstream fp32) at
+        # default-matmul-precision error class.  Chip A/B (experiments/
+        # profile_decode.py): NO speedup at d512x6 fleet shapes — the
+        # skinny [N,T,C]x[2,T] contraction doesn't consume bf16 natively
+        # — so the fp32 default (bit-exact decode) is also the fast path;
+        # the option remains for shapes where the dot lowers to the MXU.
+        self.buf_dtype = jnp.dtype(buf_dtype)
         self._init_fn = jax.jit(self._init_impl)
         self._step = jax.jit(self._step_impl)
 
@@ -103,7 +112,7 @@ class OverlapSaveBatch:
         bufs = []
         for i in range(self.n_layers):
             h, ln_in = self._block_full(params[f"block_{i}"], h)
-            bufs.append(ln_in)
+            bufs.append(ln_in.astype(self.buf_dtype))
         h = _layernorm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
         h_last = h[:, -1, :]
         logits = h_last @ params["embed"]["embedding"].T
@@ -121,11 +130,13 @@ class OverlapSaveBatch:
         """
         T = self.T
         xn = _layernorm(x_t, bp["ln"]["scale"], bp["ln"]["bias"])
-        buf = jax.lax.dynamic_update_slice(buf, xn[:, None, :], (0, ptr, 0))
+        buf = jax.lax.dynamic_update_slice(
+            buf, xn.astype(buf.dtype)[:, None, :], (0, ptr, 0))
         # w[j] = taps[(ptr - j) mod T]: newest weight on the slot just written
         w = jnp.roll(taps[::-1], ptr + 1)
         R = jnp.stack([w, jnp.full((T,), 1.0 / T, jnp.float32)])  # [2, T]
-        res = jnp.einsum("ntc,rt->nrc", buf, R)
+        res = jnp.einsum("ntc,rt->nrc", buf, R.astype(buf.dtype),
+                         preferred_element_type=jnp.float32)
         y_raw, pooled = res[:, 0, :], res[:, 1, :]
         g_ctx = jax.nn.sigmoid(pooled @ bp["gate_ctx"]["kernel"] + bp["gate_ctx"]["bias"])
         y = y_raw * (bp["gain"][None, :] * g_ctx)

@@ -370,6 +370,31 @@ class TestOverlapSaveBatch:
                     got[t + 1][j], np.asarray(l1)[0], rtol=2e-4, atol=2e-4,
                     err_msg=f"stream {j} token {t}")
 
+    def test_bf16_buffers_track_fp32(self):
+        """buf_dtype='bfloat16' (halved window-read traffic for fleet
+        serving) must stay within default-matmul-precision error class of
+        the exact fp32 decoder — bf16-rounded tap-dot inputs, fp32
+        accumulation, everything downstream fp32."""
+        from spectral_tpu.streaming.overlap_save_batch import OverlapSaveBatch
+
+        cfg, model, params = self._setup(open_freq_gate=False, active_ctx_gate=True)
+        rng = np.random.default_rng(14)
+        ids = rng.integers(0, 256, (2, cfg.seq_len)).astype(np.int32)
+        toks = rng.integers(0, 256, (5, 2)).astype(np.int32)
+
+        ref = OverlapSaveBatch(params, cfg)
+        fast = OverlapSaveBatch(params, cfg, buf_dtype="bfloat16")
+        assert fast.buf_dtype == jnp.bfloat16
+        s_ref, l_ref = ref.init_state(ids)
+        s_fast, l_fast = fast.init_state(ids)
+        assert all(b.dtype == jnp.bfloat16 for b in s_fast[0])
+        for t in range(5):
+            s_ref, l_ref = ref.next_logits(s_ref, toks[t])
+            s_fast, l_fast = fast.next_logits(s_fast, toks[t])
+            scale = np.maximum(np.abs(np.asarray(l_ref)), 1.0)
+            err = np.max(np.abs(np.asarray(l_fast) - np.asarray(l_ref)) / scale)
+            assert err < 3e-2, f"token {t}: bf16 buffer rel err {err:.2e}"
+
     def test_generate_batch_smoke_and_determinism(self):
         from spectral_tpu.streaming.overlap_save_batch import (
             OverlapSaveBatch,
