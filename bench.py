@@ -146,8 +146,14 @@ def bench_spectral_mix_hbm(
     run = jax.jit(loop, static_argnums=(2,))
     n_big = iters * 20
 
-    float(run(params, xpool, 1))  # compile both programs
-    float(run(params, xpool, n_big))
+    # compile both programs on a DEDICATED warmup input: if the warmup
+    # (executable, inputs) pair reappeared in the timed loop the tunneled
+    # chip could serve it from the value cache (CLAUDE.md gotcha 1) and
+    # min-of-reps would pick the ~0-time hit
+    xwarm = xpool + 1.0  # value-distinct for ANY pool size (roll/reverse
+    # degenerate to identity/each-other at pool <= 2)
+    float(run(params, xwarm, 1))
+    float(run(params, xwarm, n_big))
 
     pools = [xpool, xpool[::-1]]  # distinct inputs per repetition (value cache)
     for pl_ in pools:

@@ -113,7 +113,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="checkpoints/code_d512x6.msgpack")
     ap.add_argument("--batches", type=int, nargs="*", default=[8, 128])
-    ap.add_argument("--tokens", type=int, default=64)
+    ap.add_argument("--tokens", type=int, default=512)  # 64 sits inside
+    # tunnel RTT jitter and measures nothing (module NOTE)
     ap.add_argument(
         "--variants",
         default="full,full-bf16,layout-ct,no-write,conv-only,sampler")

@@ -137,6 +137,7 @@ def cfg_from_args(args: argparse.Namespace) -> TrainConfig:
         # default no longer stops at 2048
         if (std_block and not args.no_fused_block and not explicit_conv
                 and mesh_ok and seq % 8 == 0
+                and d % 128 == 0 and hidden % 128 == 0
                 and fused_path_for(seq, d, hidden) is not None):
             overrides.setdefault("use_fused_block", True)
         overrides.setdefault("fft_backend", "direct" if seq <= 2048 else "matmul")

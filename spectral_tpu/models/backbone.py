@@ -264,12 +264,15 @@ class FixedSpectralLM(nn.Module):
         else:
             block_cls = FixedSpectralBlock
         extra = {"causal_taps": cfg.causal_taps}
-        if self.mesh is not None and block_cls is not FixedSpectralBlock:
+        sp_size = 1 if self.mesh is None else dict(self.mesh.shape).get("sp", 1)
+        if sp_size > 1 and block_cls is not FixedSpectralBlock:
             # only the standard block routes its conv through the Ulysses
-            # all-to-all; accepting a mesh here would silently train the
+            # all-to-all; accepting sp>1 here would silently train the
             # bicameral/frequency-native variants with NO sequence sharding
             # (each device seeing a T/sp window as if it were the full
-            # sequence) — fail loudly instead (VERDICT r2, missing #5)
+            # sequence) — fail loudly instead (VERDICT r2, missing #5).
+            # A dp/tp-only mesh is harmless for variants (mesh is consumed
+            # only by the standard block's conv), so it passes through.
             raise NotImplementedError(
                 f"sequence parallelism (mesh sp>1) is only wired for the "
                 f"standard FixedSpectralBlock; {block_cls.__name__} would "

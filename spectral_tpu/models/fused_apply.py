@@ -126,6 +126,10 @@ def fused_block_apply_tail(
     if causal_taps:
         h_fused = causal_filter_taps(h_fused, n_fft, jnp.int32(n_fft - T))
 
+    if conv_backend not in ("auto", "direct", "matmul"):
+        raise ValueError(
+            f"tail_conv_backend={conv_backend!r}: expected 'auto', 'direct' "
+            "(Toeplitz matmul, wins at T<=4096) or 'matmul' (matmul-FFT)")
     if conv_backend == "auto":
         # Chip-measured crossover (experiments/profile_longseq, d512x6 at
         # 32768 tok/step): direct Toeplitz 76.9 ms vs matmul-FFT 95.3 ms at

@@ -64,6 +64,11 @@ class OverlapSaveBatch:
         # — so the fp32 default (bit-exact decode) is also the fast path;
         # the option remains for shapes where the dot lowers to the MXU.
         self.buf_dtype = jnp.dtype(buf_dtype)
+        # taps depend only on params (fixed per decoder): computed ONCE
+        # here, not per token — next_logits previously re-ran n_layers
+        # rfft+irfft transforms inside every per-token dispatch
+        self.taps_list = [self._layer_taps(self.params[f"block_{i}"])
+                          for i in range(self.n_layers)]
         self._init_fn = jax.jit(self._init_impl)
         self._step = jax.jit(self._step_impl)
 
@@ -106,7 +111,7 @@ class OverlapSaveBatch:
         return _ffn(bp["ffn"], h + y), ln_in
 
     def _init_impl(self, params, x_ids):
-        """x_ids [N, T] -> (bufs, ptr, h_last, logits).  Buffer slot j holds
+        """x_ids [N, T] -> (bufs, ptr, logits).  Buffer slot j holds
         window position j; the next write overwrites slot 0 (the oldest)."""
         h = params["embed"]["embedding"][x_ids]
         bufs = []
@@ -155,8 +160,7 @@ class OverlapSaveBatch:
         return (new_bufs, (ptr + 1) % self.T), logits
 
     def _step_impl(self, params, state, x_id):
-        taps_list = [self._layer_taps(params[f"block_{i}"]) for i in range(self.n_layers)]
-        return self._token_step(params, taps_list, state, x_id)
+        return self._token_step(params, self.taps_list, state, x_id)
 
     # -- public API ----------------------------------------------------------
 
