@@ -101,6 +101,7 @@ def fused_block_apply_tail(
     dropout: float = 0.0, seed=0, deterministic: bool = True,
     causal_taps: bool = True, compute_dtype: str = "bfloat16",
     conv_backend: str = "auto", interpret: bool = False,
+    mesh: Optional[jax.sharding.Mesh] = None, sp_axis: str = "sp",
 ) -> jax.Array:
     """One FixedSpectralBlock forward: XLA conv + fused positionwise tail.
 
@@ -108,6 +109,14 @@ def fused_block_apply_tail(
     XLA ops (autodiff'd by XLA), the positionwise tail is one chunked
     Pallas program.  ``conv_backend``: "auto" dispatches like the flax
     path (Toeplitz matmul <= 2048, matmul-FFT above — backbone.py:191-226).
+
+    ``mesh`` with sp>1 runs the SEQUENCE-PARALLEL fused route: the conv
+    goes through the Ulysses all-to-all (parallel/distributed_fft.py —
+    the same comm volume as the flax sp path) and the positionwise tail
+    runs as one fused Pallas program PER TIME SHARD under shard_map (the
+    tail is elementwise over time, so it needs no collectives).  LN1 and
+    the pooled context gate stay global XLA ops — jit's sharding
+    propagation inserts the [B, C] mean's psum over sp.
     """
     B, T, C = x.shape
     n_fft = conv_n_fft(T, kernel_len)
@@ -130,6 +139,15 @@ def fused_block_apply_tail(
         raise ValueError(
             f"tail_conv_backend={conv_backend!r}: expected 'auto', 'direct' "
             "(Toeplitz matmul, wins at T<=4096) or 'matmul' (matmul-FFT)")
+
+    sp = 1 if mesh is None else dict(mesh.shape).get(sp_axis, 1)
+    if sp > 1:
+        return _tail_sp(
+            x, xn, s, h_fused, bp, mesh, sp_axis, n_fft, conv_backend,
+            dropout if not deterministic else 0.0, seed, compute_dtype,
+            interpret,
+        )
+
     if conv_backend == "auto":
         # Chip-measured crossover (experiments/profile_longseq, d512x6 at
         # 32768 tok/step): direct Toeplitz 76.9 ms vs matmul-FFT 95.3 ms at
@@ -162,6 +180,65 @@ def fused_block_apply_tail(
     )
 
 
+def _tail_sp(x, xn, s, h_fused, bp, mesh, sp_axis, n_fft, conv_backend,
+             p, seed, compute_dtype, interpret):
+    """Sequence-parallel tail route: Ulysses conv + per-time-shard fused tail.
+
+    ``x``/``xn`` [B, T, C] globals with T sharded over ``mesh[sp_axis]``
+    (and optionally B over dp).  The conv re-shards time<->channel via the
+    all-to-all (custom_vjp'd in parallel/distributed_fft.py); the tail is
+    positionwise, so each device runs the chunked Pallas program on its
+    own [B_loc, T/sp, C] shard with no collectives.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:  # jax >= 0.8
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    from spectral_tpu.parallel.distributed_fft import (
+        sequence_sharded_spectral_conv,
+    )
+
+    n = dict(mesh.shape)[sp_axis]
+    # the Ulysses local conv runs the FULL time axis on each channel shard:
+    # "matmul" = MXU DFT stages, everything else = jnp.fft ("direct"'s
+    # (T, T) Toeplitz operand has no channel-sharded local form)
+    local_backend = "matmul" if conv_backend == "matmul" else "xla"
+    conv = sequence_sharded_spectral_conv(
+        xn, h_fused, mesh, axis=sp_axis, n_fft=n_fft, backend=local_backend
+    )
+
+    batch_axis = "dp" if "dp" in mesh.axis_names else None
+    act_spec = P(batch_axis, sp_axis, None)
+    rep = P()
+    f = bp["ffn"]
+
+    def local_tail(x_l, conv_l, s_l, ln2s, ln2b, W1, b1, W2, b2, seed_l):
+        # decorrelate the in-kernel dropout streams across shards: the
+        # kernel folds only (local batch, local chunk) into its seed,
+        # which would repeat identically on every shard
+        idx = jax.lax.axis_index(sp_axis).astype(jnp.uint32)
+        if batch_axis is not None:
+            idx = idx + jnp.uint32(n) * jax.lax.axis_index(batch_axis).astype(jnp.uint32)
+        shard_seed = seed_l + idx * jnp.uint32(0x9E3779B9)
+        return fused_tail(x_l, conv_l, s_l, ln2s, ln2b, W1, b1, W2, b2,
+                          shard_seed, p, compute_dtype, None, interpret)
+
+    fn = shard_map(
+        local_tail, mesh=mesh,
+        in_specs=(act_spec, act_spec, P(batch_axis, None),
+                  rep, rep, rep, rep, rep, rep, rep),
+        out_specs=act_spec,
+        check_vma=False,  # custom_vjp inside (pallas_tail)
+    )
+    return fn(x, conv, s, f["ffn_ln"]["scale"], f["ffn_ln"]["bias"],
+              f["ffn_in"]["kernel"], f["ffn_in"]["bias"],
+              f["ffn_out"]["kernel"], f["ffn_out"]["bias"],
+              jnp.asarray(seed, jnp.uint32))
+
+
 def dropout_seed_from_key(rng: jax.Array) -> jax.Array:
     """uint32 kernel-PRNG seed from a JAX PRNG key (any impl)."""
     return jax.random.bits(rng, (), jnp.uint32)
@@ -171,6 +248,7 @@ def fused_lm_apply(
     params: dict, tokens: jax.Array, cfg: TrainConfig,
     cutoff=None, deterministic: bool = True, rng: Optional[jax.Array] = None,
     interpret: bool = False, force_path: Optional[str] = None,
+    mesh: Optional[jax.sharding.Mesh] = None, sp_axis: str = "sp",
 ) -> jax.Array:
     """FixedSpectralLM logits from its param tree via the fused kernels.
 
@@ -180,12 +258,29 @@ def fused_lm_apply(
     kernel; longer sequences run the conv in XLA (matmul-FFT) + the
     positionwise tail kernel — no sequence-length cliff.  ``force_path``
     overrides the dispatch ("block"|"tail", tests/benchmarks only).
+
+    ``mesh`` with sp>1 selects the sequence-parallel tail route (Ulysses
+    all-to-all conv + per-time-shard tail kernels, ``_tail_sp``); call it
+    on GLOBAL arrays under jit with the trainer's (dp, sp) shardings —
+    the collectives come from the conv's shard_map and jit's propagation.
     """
     emb = params["embed"]["embedding"]
     h = emb[tokens]
     T = h.shape[1]
     hidden = params["block_0"]["ffn"]["ffn_in"]["kernel"].shape[1]
-    path = force_path or fused_path_for(T, cfg.d_model, hidden)
+    sp = 1 if mesh is None else dict(mesh.shape).get(sp_axis, 1)
+    if sp > 1:
+        # the whole-block kernel convs in-kernel and cannot split T; the
+        # tail route is built for exactly this factorization
+        path = "tail"
+        if T % sp or cfg.d_model % sp:
+            raise ValueError(
+                f"(T={T}, C={cfg.d_model}) must divide over {sp_axis}={sp}")
+        if pick_chunk(T // sp, cfg.d_model, hidden) is None:
+            raise ValueError(
+                f"no tail chunking for the local shard (T/sp={T // sp})")
+    else:
+        path = force_path or fused_path_for(T, cfg.d_model, hidden)
     if path is None:
         raise ValueError(
             f"no fused route covers (T={T}, C={cfg.d_model}, H={hidden}); "
@@ -217,7 +312,8 @@ def fused_lm_apply(
                 deterministic=det, causal_taps=cfg.causal_taps,
                 compute_dtype=cfg.compute_dtype,
                 conv_backend=getattr(cfg, "tail_conv_backend", "auto"),
-                interpret=interpret,
+                interpret=interpret, mesh=mesh if sp > 1 else None,
+                sp_axis=sp_axis,
             )
     h = _layernorm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
     cdt = jnp.dtype(cfg.compute_dtype)

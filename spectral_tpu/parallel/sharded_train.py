@@ -20,15 +20,30 @@ from spectral_tpu.parallel.mesh import batch_pspec, param_pspecs
 from spectral_tpu.train.evaluate import cross_entropy
 
 
-def _fused_dp_applicable(cfg: TrainConfig, mesh: Mesh) -> bool:
-    """The fused Pallas kernels run under the mesh iff the ONLY sharded model
-    axis is dp: each device then drives its full batch shard through the
-    per-batch-element grid kernel and the grad psum over dp comes from the
-    shard_map transpose.  sp/tp shard axes INSIDE the kernel's operands and
-    need the flax Ulysses/column-parallel paths."""
+def _fused_mesh_mode(cfg: TrainConfig, mesh: Mesh):
+    """Which fused-kernel route (if any) covers this (cfg, mesh).
+
+    "dp": only dp sharded — shard_map the whole fused step, each device
+    drives its batch shard through the per-batch-element grid kernels.
+    "sp": sp > 1 (dp free to combine) — the sequence-parallel tail route
+    (models/fused_apply._tail_sp): Ulysses all-to-all conv + per-time-
+    shard tail kernels.  None: tp > 1 (the FFN hidden axis shards INSIDE
+    the kernel operands) or a non-standard block — flax paths."""
     if not cfg.use_fused_block or cfg.bicameral or cfg.frequency_native:
-        return False
-    return mesh.shape.get("sp", 1) == 1 and mesh.shape.get("tp", 1) == 1
+        return None
+    if mesh.shape.get("tp", 1) > 1:
+        return None
+    if mesh.shape.get("sp", 1) > 1:
+        return "sp"
+    return "dp"
+
+
+def _fused_dp_applicable(cfg: TrainConfig, mesh: Mesh) -> bool:
+    """The fused Pallas kernels run wholesale under the mesh iff the ONLY
+    sharded model axis is dp: each device then drives its full batch shard
+    through the per-batch-element grid kernel and the grad psum over dp
+    comes from the shard_map transpose."""
+    return _fused_mesh_mode(cfg, mesh) == "dp"
 
 
 def make_sharded_train_step(model, cfg: TrainConfig, tx, mesh: Mesh) -> Callable:
@@ -37,7 +52,21 @@ def make_sharded_train_step(model, cfg: TrainConfig, tx, mesh: Mesh) -> Callable
     bx/by: [accum, B, T] int32 sharded P(None, dp, sp).
     """
 
-    if _fused_dp_applicable(cfg, mesh):
+    fused_mode = _fused_mesh_mode(cfg, mesh)
+    if fused_mode == "sp":
+        # sequence-parallel fused route: fused_lm_apply on GLOBAL arrays —
+        # the Ulysses conv + per-shard tail shard_maps live inside it, and
+        # jit's sharding propagation handles the rest (pooled-gate psum
+        # over sp, grad psums over dp) exactly as for the flax path.
+        from spectral_tpu.models.fused_apply import fused_lm_apply
+
+        def loss_fn(params, bx, by, cutoff, rng):
+            logits = fused_lm_apply(
+                params, bx, cfg, cutoff=cutoff,
+                deterministic=cfg.dropout == 0.0, rng=rng, mesh=mesh,
+            )
+            return cross_entropy(logits, by)
+    elif fused_mode == "dp":
         # dp-sharded fused-kernel path (VERDICT r2 missing #2): shard_map
         # splits the batch over dp, every device runs the SAME fused Pallas
         # program on its shard (replicated params), and the loss/grad psum

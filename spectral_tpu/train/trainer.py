@@ -198,6 +198,11 @@ def train(cfg: TrainConfig, *, resume: bool = False, no_sawtooth: bool = False,
         params = shard_params(params, mesh)
         opt_state = tx.init(params)
         train_step, opt_state = make_sharded_train_step(model, cfg, tx, mesh)(params, opt_state)
+        if cfg.use_fused_block:
+            from spectral_tpu.parallel.sharded_train import _fused_mesh_mode
+
+            mode = _fused_mesh_mode(cfg, mesh)
+            log(f"Fused kernels under the mesh: {mode or 'NOT applicable (flax path)'}")
     else:
         opt_state = tx.init(params)
         train_step = make_train_step(model, cfg, tx)
