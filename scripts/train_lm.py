@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable the fused whole-block Pallas training path "
                         "(the TPU default at tile-aligned shapes)")
     p.add_argument("--fft-precision", type=str, default=None, choices=["highest", "default"])
+    p.add_argument("--full-band-epoch", type=int, default=None,
+                   help="epoch at which the fixed curriculum unlocks the FULL "
+                        "band (long-seq third stage; default: reference 2-stage "
+                        "parity, capped at 512 bins)")
     p.add_argument("--mesh-dp", type=int, default=None, help="data-parallel mesh axis size")
     p.add_argument("--mesh-sp", type=int, default=None, help="sequence-parallel mesh axis size")
     p.add_argument("--mesh-tp", type=int, default=None, help="tensor-parallel mesh axis size")
@@ -84,6 +88,7 @@ _ARG_TO_FIELD = {
     "val_batches": "val_batches",
     "eval_every_epochs": "eval_every_epochs",
     "compute_dtype": "compute_dtype",
+    "full_band_epoch": "full_band_epoch",
     "mesh_dp": "mesh_dp",
     "mesh_sp": "mesh_sp",
     "mesh_tp": "mesh_tp",

@@ -51,6 +51,14 @@ class TrainConfig:
     jpeg_mid: int = 512
     jpeg_high: int = 1024
     jpeg_transition: int = 32  # soft roll-off bins (Gibbs ringing)
+    # Third curriculum stage for long sequences (deliberate extension of
+    # the reference's fixed 2-stage ladder, train_fixed_full.py:279-292,
+    # which was designed for seq<=1024 where 512 bins ~= Nyquist): from
+    # this epoch the fixed curriculum unlocks the FULL band.  At seq 4096
+    # the 2-stage ladder otherwise caps at 512/4097 bins forever — the
+    # reference's plateau rules unlock to Nyquist but its epoch-indexed
+    # curriculum never did.  None (default) keeps reference parity.
+    full_band_epoch: int | None = None
     # generation
     temperature: float = 0.8
     top_p: float = 0.9

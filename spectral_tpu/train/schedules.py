@@ -94,6 +94,11 @@ def curriculum_cutoff(epoch: int, cfg: TrainConfig, freq_bins: int) -> int:
     Skips 256 — "jump straight to full resolution" (reference :279-292).
     """
     target = _BAND_LADDER[0] if epoch < 5 else _BAND_LADDER[1]
+    # long-seq third stage: unlock the full band once configured to
+    # (cfg.full_band_epoch; None = the reference's 2-stage parity)
+    full_band_epoch = getattr(cfg, "full_band_epoch", None)
+    if full_band_epoch is not None and epoch >= int(full_band_epoch):
+        target = freq_bins
     return min(target, freq_bins)
 
 

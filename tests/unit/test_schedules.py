@@ -42,6 +42,20 @@ class TestCutoffSchedules:
         assert curriculum_cutoff(4, cfg, bins) == 128
         assert curriculum_cutoff(5, cfg, bins) == 512  # skips 256 by design
 
+    def test_curriculum_full_band_third_stage(self):
+        # long-seq extension: cfg.full_band_epoch unlocks Nyquist at a
+        # fixed epoch; None (default) keeps the reference's 512 cap
+        bins = 4097
+        cfg = _cfg()
+        assert curriculum_cutoff(100, cfg, bins) == 512  # parity default
+        cfg3 = cfg.replace(full_band_epoch=42)
+        assert curriculum_cutoff(41, cfg3, bins) == 512
+        assert curriculum_cutoff(42, cfg3, bins) == bins
+        # earlier stages unaffected
+        assert curriculum_cutoff(0, cfg3, bins) == 128
+        # full_band_epoch=0 trains full-band from scratch
+        assert curriculum_cutoff(0, cfg.replace(full_band_epoch=0), bins) == bins
+
     def test_adaptive_raises_only_on_plateau(self):
         bins = 1025
         improving = [3.0 - 0.01 * i for i in range(50)]
