@@ -133,19 +133,20 @@ def cfg_from_args(args: argparse.Namespace) -> TrainConfig:
         explicit_conv = args.fft_backend is not None or args.fft_precision is not None
         # mesh coverage of the fused kernels (parallel/sharded_train.py
         # _fused_mesh_mode): dp shards the per-batch-element grid kernels
-        # via shard_map; sp>1 runs the sequence-parallel tail route
-        # (Ulysses conv + per-time-shard tail kernels); tp>1 shards the
-        # FFN hidden axis INSIDE the kernel operands and needs the flax
-        # column-parallel path.
+        # via shard_map; sp>1 and/or tp>1 run the mesh tail route
+        # (Ulysses conv per time shard + hidden-sharded FFN with the
+        # residual_alpha partial-sum psum over tp).
         mesh_sp = overrides.get("mesh_sp", 1)
-        mesh_ok = overrides.get("mesh_tp", 1) == 1
-        if mesh_sp > 1:
-            # sp route: shapes must divide over sp and the LOCAL time
+        mesh_tp = overrides.get("mesh_tp", 1)
+        mesh_ok = hidden % mesh_tp == 0
+        if mesh_sp > 1 or mesh_tp > 1:
+            # mesh tail route: shapes must divide over sp/tp and the LOCAL
             # shard must still chunk under the tail kernel's VMEM budget
             from spectral_tpu.ops.pallas_tail import pick_chunk
 
             mesh_ok = (mesh_ok and seq % mesh_sp == 0 and d % mesh_sp == 0
-                       and pick_chunk(seq // mesh_sp, d, hidden) is not None)
+                       and pick_chunk(seq // mesh_sp, d, hidden // mesh_tp)
+                       is not None)
         # fused_path_for: seq<=2048 -> whole-block kernel; longer -> XLA
         # conv + positionwise tail kernel (ops/pallas_tail.py) — the fused
         # default no longer stops at 2048

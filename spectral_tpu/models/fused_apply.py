@@ -102,6 +102,7 @@ def fused_block_apply_tail(
     causal_taps: bool = True, compute_dtype: str = "bfloat16",
     conv_backend: str = "auto", interpret: bool = False,
     mesh: Optional[jax.sharding.Mesh] = None, sp_axis: str = "sp",
+    tp_axis: str = "tp",
 ) -> jax.Array:
     """One FixedSpectralBlock forward: XLA conv + fused positionwise tail.
 
@@ -110,13 +111,17 @@ def fused_block_apply_tail(
     Pallas program.  ``conv_backend``: "auto" dispatches like the flax
     path (Toeplitz matmul <= 2048, matmul-FFT above — backbone.py:191-226).
 
-    ``mesh`` with sp>1 runs the SEQUENCE-PARALLEL fused route: the conv
-    goes through the Ulysses all-to-all (parallel/distributed_fft.py —
-    the same comm volume as the flax sp path) and the positionwise tail
-    runs as one fused Pallas program PER TIME SHARD under shard_map (the
-    tail is elementwise over time, so it needs no collectives).  LN1 and
-    the pooled context gate stay global XLA ops — jit's sharding
-    propagation inserts the [B, C] mean's psum over sp.
+    ``mesh`` with sp>1 and/or tp>1 runs the MESH fused route (_tail_mesh):
+    under sp the conv goes through the Ulysses all-to-all
+    (parallel/distributed_fft.py — the same comm volume as the flax sp
+    path) and the positionwise tail runs as one fused Pallas program PER
+    TIME SHARD under shard_map (the tail is elementwise over time, so it
+    needs no collectives); under tp the tail's FFN runs hidden-sharded
+    (Megatron column/row split) with a psum over tp — the kernel's
+    residual_alpha=1/tp makes the psum of per-shard tails EXACTLY the
+    unsharded tail.  LN1 and the pooled context gate stay global XLA
+    ops — jit's sharding propagation inserts the [B, C] mean's psum
+    over sp.
     """
     B, T, C = x.shape
     n_fft = conv_n_fft(T, kernel_len)
@@ -140,12 +145,14 @@ def fused_block_apply_tail(
             f"tail_conv_backend={conv_backend!r}: expected 'auto', 'direct' "
             "(Toeplitz matmul, wins at T<=4096) or 'matmul' (matmul-FFT)")
 
-    sp = 1 if mesh is None else dict(mesh.shape).get(sp_axis, 1)
-    if sp > 1:
-        return _tail_sp(
-            x, xn, s, h_fused, bp, mesh, sp_axis, n_fft, conv_backend,
-            dropout if not deterministic else 0.0, seed, compute_dtype,
-            interpret,
+    msizes = {} if mesh is None else dict(mesh.shape)
+    sp = msizes.get(sp_axis, 1)
+    tp = msizes.get(tp_axis, 1)
+    if sp > 1 or tp > 1:
+        return _tail_mesh(
+            x, xn, s, h_fused, bp, mesh, sp_axis, tp_axis, n_fft,
+            conv_backend, dropout if not deterministic else 0.0, seed,
+            compute_dtype, interpret,
         )
 
     if conv_backend == "auto":
@@ -180,15 +187,25 @@ def fused_block_apply_tail(
     )
 
 
-def _tail_sp(x, xn, s, h_fused, bp, mesh, sp_axis, n_fft, conv_backend,
-             p, seed, compute_dtype, interpret):
-    """Sequence-parallel tail route: Ulysses conv + per-time-shard fused tail.
+def _tail_mesh(x, xn, s, h_fused, bp, mesh, sp_axis, tp_axis, n_fft,
+               conv_backend, p, seed, compute_dtype, interpret):
+    """Mesh tail route: Ulysses conv (sp) + sharded fused tail (sp x tp).
 
     ``x``/``xn`` [B, T, C] globals with T sharded over ``mesh[sp_axis]``
-    (and optionally B over dp).  The conv re-shards time<->channel via the
-    all-to-all (custom_vjp'd in parallel/distributed_fft.py); the tail is
-    positionwise, so each device runs the chunked Pallas program on its
-    own [B_loc, T/sp, C] shard with no collectives.
+    (and optionally B over dp; the FFN weights over tp).  The conv
+    re-shards time<->channel via the all-to-all (custom_vjp'd in
+    parallel/distributed_fft.py) when sp > 1, else runs replicated; the
+    tail is positionwise, so each device runs the chunked Pallas program
+    on its own [B_loc, T/sp, C] shard.
+
+    Under tp > 1 the tail's FFN is hidden-sharded (W1 columns, b1, W2
+    rows — the Megatron split parallel/mesh.param_pspecs declares) and the
+    kernel's ``residual_alpha=1/tp`` + ``b2/tp`` make the psum over tp
+    EXACTLY the unsharded tail (pallas_tail._tail_forward_values).  The
+    in-kernel dropout seed folds (dp, sp) shard indices but NOT tp: the
+    conv/output masks must agree across tp shards for the psum linearity
+    (the hidden mask is then the same bit pattern on every H/tp shard —
+    tp-correlated hidden dropout, a documented statistical deviation).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -197,39 +214,76 @@ def _tail_sp(x, xn, s, h_fused, bp, mesh, sp_axis, n_fft, conv_backend,
     except ImportError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map
 
-    from spectral_tpu.parallel.distributed_fft import (
-        sequence_sharded_spectral_conv,
-    )
+    msizes = dict(mesh.shape)
+    nsp = msizes.get(sp_axis, 1)
+    ntp = msizes.get(tp_axis, 1)
 
-    n = dict(mesh.shape)[sp_axis]
-    # the Ulysses local conv runs the FULL time axis on each channel shard:
-    # "matmul" = MXU DFT stages, everything else = jnp.fft ("direct"'s
-    # (T, T) Toeplitz operand has no channel-sharded local form)
-    local_backend = "matmul" if conv_backend == "matmul" else "xla"
-    conv = sequence_sharded_spectral_conv(
-        xn, h_fused, mesh, axis=sp_axis, n_fft=n_fft, backend=local_backend
-    )
+    if nsp > 1:
+        from spectral_tpu.parallel.distributed_fft import (
+            sequence_sharded_spectral_conv,
+        )
+
+        # the Ulysses local conv runs the FULL time axis on each channel
+        # shard: "matmul" = MXU DFT stages, everything else = jnp.fft
+        # ("direct"'s (T, T) Toeplitz operand has no channel-sharded
+        # local form)
+        local_backend = "matmul" if conv_backend == "matmul" else "xla"
+        conv = sequence_sharded_spectral_conv(
+            xn, h_fused, mesh, axis=sp_axis, n_fft=n_fft, backend=local_backend
+        )
+    else:
+        # tp-only mesh: conv replicated over tp (communication-free),
+        # same backend dispatch as the single-device tail route
+        T = x.shape[1]
+        backend = conv_backend
+        if backend == "auto":
+            backend = "direct" if T <= 4096 else "matmul"
+        prec = (jax.lax.Precision.HIGHEST
+                if jnp.dtype(compute_dtype) == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        if backend == "direct":
+            from spectral_tpu.ops.toeplitz import spectral_conv_direct
+
+            conv = spectral_conv_direct(xn, h_fused, n_fft, precision=prec)
+        else:
+            from spectral_tpu.ops.matfft import spectral_conv_matmul
+
+            conv = jnp.swapaxes(
+                spectral_conv_matmul(jnp.swapaxes(xn, 1, 2), h_fused, n_fft,
+                                     precision=prec), 1, 2
+            )
 
     batch_axis = "dp" if "dp" in mesh.axis_names else None
-    act_spec = P(batch_axis, sp_axis, None)
+    act_spec = P(batch_axis, sp_axis if nsp > 1 else None, None)
     rep = P()
+    w1_spec = P(None, tp_axis) if ntp > 1 else rep  # column parallel
+    b1_spec = P(tp_axis) if ntp > 1 else rep
+    w2_spec = P(tp_axis, None) if ntp > 1 else rep  # row parallel
+    alpha = 1.0 / ntp
     f = bp["ffn"]
 
     def local_tail(x_l, conv_l, s_l, ln2s, ln2b, W1, b1, W2, b2, seed_l):
-        # decorrelate the in-kernel dropout streams across shards: the
-        # kernel folds only (local batch, local chunk) into its seed,
-        # which would repeat identically on every shard
-        idx = jax.lax.axis_index(sp_axis).astype(jnp.uint32)
+        # decorrelate the in-kernel dropout streams across (dp, sp)
+        # shards: the kernel folds only (local batch, local chunk) into
+        # its seed, which would repeat identically on every shard.  tp is
+        # NOT folded — see the docstring.
+        idx = jnp.uint32(0)
+        if nsp > 1:
+            idx = jax.lax.axis_index(sp_axis).astype(jnp.uint32)
         if batch_axis is not None:
-            idx = idx + jnp.uint32(n) * jax.lax.axis_index(batch_axis).astype(jnp.uint32)
+            idx = idx + jnp.uint32(nsp) * jax.lax.axis_index(batch_axis).astype(jnp.uint32)
         shard_seed = seed_l + idx * jnp.uint32(0x9E3779B9)
-        return fused_tail(x_l, conv_l, s_l, ln2s, ln2b, W1, b1, W2, b2,
-                          shard_seed, p, compute_dtype, None, interpret)
+        out = fused_tail(x_l, conv_l, s_l, ln2s, ln2b, W1, b1, W2,
+                         b2 * alpha, shard_seed, p, compute_dtype, None,
+                         interpret, alpha)
+        if ntp > 1:
+            out = jax.lax.psum(out, tp_axis)
+        return out
 
     fn = shard_map(
         local_tail, mesh=mesh,
         in_specs=(act_spec, act_spec, P(batch_axis, None),
-                  rep, rep, rep, rep, rep, rep, rep),
+                  rep, rep, w1_spec, b1_spec, w2_spec, rep, rep),
         out_specs=act_spec,
         check_vma=False,  # custom_vjp inside (pallas_tail)
     )
@@ -249,6 +303,7 @@ def fused_lm_apply(
     cutoff=None, deterministic: bool = True, rng: Optional[jax.Array] = None,
     interpret: bool = False, force_path: Optional[str] = None,
     mesh: Optional[jax.sharding.Mesh] = None, sp_axis: str = "sp",
+    tp_axis: str = "tp",
 ) -> jax.Array:
     """FixedSpectralLM logits from its param tree via the fused kernels.
 
@@ -259,24 +314,31 @@ def fused_lm_apply(
     positionwise tail kernel — no sequence-length cliff.  ``force_path``
     overrides the dispatch ("block"|"tail", tests/benchmarks only).
 
-    ``mesh`` with sp>1 selects the sequence-parallel tail route (Ulysses
-    all-to-all conv + per-time-shard tail kernels, ``_tail_sp``); call it
-    on GLOBAL arrays under jit with the trainer's (dp, sp) shardings —
-    the collectives come from the conv's shard_map and jit's propagation.
+    ``mesh`` with sp>1 and/or tp>1 selects the mesh tail route (Ulysses
+    all-to-all conv + per-shard tail kernels, hidden-sharded FFN under
+    tp — ``_tail_mesh``); call it on GLOBAL arrays under jit with the
+    trainer's (dp, sp, tp) shardings — the collectives come from the
+    conv's shard_map, the tail's tp psum and jit's propagation.
     """
     emb = params["embed"]["embedding"]
     h = emb[tokens]
     T = h.shape[1]
     hidden = params["block_0"]["ffn"]["ffn_in"]["kernel"].shape[1]
-    sp = 1 if mesh is None else dict(mesh.shape).get(sp_axis, 1)
-    if sp > 1:
-        # the whole-block kernel convs in-kernel and cannot split T; the
-        # tail route is built for exactly this factorization
+    msizes = {} if mesh is None else dict(mesh.shape)
+    sp = msizes.get(sp_axis, 1)
+    tp = msizes.get(tp_axis, 1)
+    if sp > 1 or tp > 1:
+        # the whole-block kernel convs in-kernel and cannot split T (nor
+        # its in-kernel pooled gate the hidden axis); the tail route is
+        # built for exactly these factorizations
         path = "tail"
         if T % sp or cfg.d_model % sp:
             raise ValueError(
                 f"(T={T}, C={cfg.d_model}) must divide over {sp_axis}={sp}")
-        if pick_chunk(T // sp, cfg.d_model, hidden) is None:
+        if hidden % tp:
+            raise ValueError(
+                f"FFN hidden={hidden} must divide over {tp_axis}={tp}")
+        if pick_chunk(T // sp, cfg.d_model, hidden // tp) is None:
             raise ValueError(
                 f"no tail chunking for the local shard (T/sp={T // sp})")
     else:
@@ -312,8 +374,9 @@ def fused_lm_apply(
                 deterministic=det, causal_taps=cfg.causal_taps,
                 compute_dtype=cfg.compute_dtype,
                 conv_backend=getattr(cfg, "tail_conv_backend", "auto"),
-                interpret=interpret, mesh=mesh if sp > 1 else None,
-                sp_axis=sp_axis,
+                interpret=interpret,
+                mesh=mesh if (sp > 1 or tp > 1) else None,
+                sp_axis=sp_axis, tp_axis=tp_axis,
             )
     h = _layernorm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
     cdt = jnp.dtype(cfg.compute_dtype)

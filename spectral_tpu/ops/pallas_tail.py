@@ -59,12 +59,18 @@ if PALLAS_AVAILABLE:  # pragma: no branch
 
 
 def _tail_forward_values(x, conv, s, ln2s, ln2b, W1, b1, W2, b2, cdt,
-                         masks=None):
+                         masks=None, alpha=1.0):
     """Block tail on VALUES; x/conv [S, C], s [1, C] (broadcasts over rows).
 
     Same dtype conventions as pallas_block._block_forward_values: matmuls in
     ``cdt`` with fp32 accumulation + bf16-rounded outputs (flax
     Dense(dtype=cdt)); LN/residual/gate-mul fp32.
+
+    ``alpha`` scales ONLY the residual (x1) term of the output:
+    out = alpha*x1 + drop(FFN(LN(x1))).  With alpha=1/tp and the FFN
+    weights hidden-sharded (W1 columns, W2 rows, b2/tp), a psum over tp
+    shards reconstructs the unsharded tail EXACTLY — the tensor-parallel
+    fused route (models/fused_apply._tail_mesh).
     """
     f32 = jnp.float32
     y = conv * s
@@ -81,13 +87,13 @@ def _tail_forward_values(x, conv, s, ln2s, ln2b, W1, b1, W2, b2, cdt,
     f = f.astype(f32)
     if masks is not None:
         f = f * masks[2]
-    out = x1 + f
+    out = (x1 * alpha if alpha != 1.0 else x1) + f
     inter = dict(x1=x1, h1=h1, xhat2=xhat2, inv2=inv2, a=a, ged=ged)
     return out, inter
 
 
 def _tail_backward_values(gout, x, conv, s, ln2s, ln2b, W1, b1, W2, b2, cdt,
-                          masks, inter):
+                          masks, inter, alpha=1.0):
     """Tail gradients for upstream gout [S, C].  Returns a dict; d_s is the
     per-chunk PARTIAL sum over rows (caller accumulates over chunks)."""
     f32 = jnp.float32
@@ -104,7 +110,7 @@ def _tail_backward_values(gout, x, conv, s, ln2s, ln2b, W1, b1, W2, b2, cdt,
     d_W1 = jnp.dot(h1.astype(cdt).T, d_a.astype(cdt), preferred_element_type=f32)
     d_h1 = jnp.dot(d_a.astype(cdt), W1.astype(cdt).T, preferred_element_type=f32)
     d_x1_ln, d_ln2s, d_ln2b = _ln_bwd(d_h1, xhat2, inv2, ln2s)
-    d_x1 = gout + d_x1_ln
+    d_x1 = (gout * alpha if alpha != 1.0 else gout) + d_x1_ln
 
     gy = d_x1 * masks[0] if masks is not None else d_x1
     d_s = jnp.sum(gy * conv, axis=0, keepdims=True)  # [1, C] chunk-partial
@@ -124,7 +130,7 @@ def _seed_for(seed_ref, b, t, nchunks):
 
 def _tail_fwd_kernel(seed_ref, x_ref, conv_ref, s_ref, ln2s_ref, ln2b_ref,
                      W1_ref, b1_ref, W2_ref, b2_ref, out_ref,
-                     *, cdt, p, hidden, nchunks):
+                     *, cdt, p, hidden, nchunks, alpha):
     b, t = pl.program_id(0), pl.program_id(1)
     masks = None
     if p > 0.0:
@@ -133,7 +139,7 @@ def _tail_fwd_kernel(seed_ref, x_ref, conv_ref, s_ref, ln2s_ref, ln2b_ref,
         masks = _dropout_masks([(S, C), (S, hidden), (S, C)], p)
     out, _ = _tail_forward_values(
         x_ref[0], conv_ref[0], s_ref[0], ln2s_ref[0], ln2b_ref[0],
-        W1_ref[...], b1_ref[0], W2_ref[...], b2_ref[0], cdt, masks,
+        W1_ref[...], b1_ref[0], W2_ref[...], b2_ref[0], cdt, masks, alpha,
     )
     out_ref[0] = out
 
@@ -142,7 +148,7 @@ def _tail_bwd_kernel(seed_ref, gout_ref, x_ref, conv_ref, s_ref, ln2s_ref,
                      ln2b_ref, W1_ref, b1_ref, W2_ref, b2_ref,
                      dx_ref, dconv_ref, ds_ref, dln2s_ref, dln2b_ref,
                      dW1_ref, db1_ref, dW2_ref, db2_ref,
-                     *, cdt, p, hidden, nchunks):
+                     *, cdt, p, hidden, nchunks, alpha):
     b, t = pl.program_id(0), pl.program_id(1)
     masks = None
     if p > 0.0:
@@ -151,8 +157,8 @@ def _tail_bwd_kernel(seed_ref, gout_ref, x_ref, conv_ref, s_ref, ln2s_ref,
         masks = _dropout_masks([(S, C), (S, hidden), (S, C)], p)
     args = (x_ref[0], conv_ref[0], s_ref[0], ln2s_ref[0], ln2b_ref[0],
             W1_ref[...], b1_ref[0], W2_ref[...], b2_ref[0])
-    _, inter = _tail_forward_values(*args, cdt, masks)
-    g = _tail_backward_values(gout_ref[0], *args, cdt, masks, inter)
+    _, inter = _tail_forward_values(*args, cdt, masks, alpha)
+    g = _tail_backward_values(gout_ref[0], *args, cdt, masks, inter, alpha)
     dx_ref[0] = g["d_x"]
     dconv_ref[0] = g["d_conv"]
 
@@ -201,19 +207,25 @@ def pick_chunk(T: int, C: int, H: int,
     return None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
 def fused_tail(x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed,
                p: float = 0.0, compute_dtype: str = "bfloat16",
-               chunk: int | None = None, interpret: bool = False):
+               chunk: int | None = None, interpret: bool = False,
+               residual_alpha: float = 1.0):
     """Fused block tail: out = (x + drop(conv*s)) + drop(FFN(LN(x + drop(conv*s)))).
 
     x, conv: [B, T, C] fp32; s: [B, C] per-(batch, channel) scale
     (gain * context gate); FFN params as in the flax block.  ``seed``:
     uint32 scalar (traced ok); ``p``: static dropout rate.
     Works for ANY T that has a multiple-of-8 divisor; no (T, T) operand.
+
+    ``residual_alpha`` (static) scales only the x1 residual term of the
+    output — the tensor-parallel hook: with alpha=1/tp, hidden-sharded
+    W1/b1/W2 and b2/tp, psum over tp reconstructs the tail exactly
+    (see _tail_forward_values).
     """
     return _tail_fwd_impl(x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed,
-                          p, compute_dtype, chunk, interpret)
+                          p, compute_dtype, chunk, interpret, residual_alpha)
 
 
 def _host_masks3(seed, B, T, C, H, p):
@@ -229,26 +241,30 @@ def _host_masks3(seed, B, T, C, H, p):
     )
 
 
-def _values_tail_fwd(x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed, p, cdt):
+def _values_tail_fwd(x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed, p, cdt,
+                     alpha=1.0):
     B, T, C = x.shape
     masks = _host_masks3(seed, B, T, C, W1.shape[1], p)
 
     def one(xb, cb, sb, m1, m2, m3):
         out, _ = _tail_forward_values(xb, cb, sb[None, :], ln2s, ln2b,
-                                      W1, b1, W2, b2, cdt, (m1, m2, m3))
+                                      W1, b1, W2, b2, cdt, (m1, m2, m3),
+                                      alpha)
         return out
 
     return jax.vmap(one)(x, conv, s, *masks)
 
 
-def _values_tail_bwd(gout, x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed, p, cdt):
+def _values_tail_bwd(gout, x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed, p,
+                     cdt, alpha=1.0):
     B, T, C = x.shape
     masks = _host_masks3(seed, B, T, C, W1.shape[1], p)
 
     def one(gb, xb, cb, sb, m1, m2, m3):
         args = (xb, cb, sb[None, :], ln2s, ln2b, W1, b1, W2, b2)
-        _, inter = _tail_forward_values(*args, cdt, (m1, m2, m3))
-        return _tail_backward_values(gb, *args, cdt, (m1, m2, m3), inter)
+        _, inter = _tail_forward_values(*args, cdt, (m1, m2, m3), alpha)
+        return _tail_backward_values(gb, *args, cdt, (m1, m2, m3), inter,
+                                     alpha)
 
     g = jax.vmap(one)(gout, x, conv, s, *masks)
     return (g["d_x"], g["d_conv"], g["d_s"][:, 0, :],
@@ -271,7 +287,7 @@ def _tail_specs(B, T, C, H, S):
 
 
 def _tail_fwd_impl(x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed,
-                   p, compute_dtype, chunk, interpret):
+                   p, compute_dtype, chunk, interpret, alpha=1.0):
     B, T, C = x.shape
     H = W1.shape[1]
     cdt = jnp.dtype(compute_dtype)
@@ -281,7 +297,7 @@ def _tail_fwd_impl(x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed,
     if S is None or (interpret and p > 0.0):
         return _values_tail_fwd(x, conv, s, _as2d(ln2s)[0], _as2d(ln2b)[0],
                                 W1, _as2d(b1)[0], W2, _as2d(b2)[0],
-                                seed, p, cdt)
+                                seed, p, cdt, alpha)
     sp = _tail_specs(B, T, C, H, S)
     kwargs = {}
     if not interpret:
@@ -289,7 +305,7 @@ def _tail_fwd_impl(x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed,
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.uint32))
     fn = pl.pallas_call(
         functools.partial(_tail_fwd_kernel, cdt=cdt, p=p, hidden=H,
-                          nchunks=sp["NC"]),
+                          nchunks=sp["NC"], alpha=alpha),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, sp["NC"]),
@@ -306,7 +322,7 @@ def _tail_fwd_impl(x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed,
 
 
 def _tail_bwd_impl(gout, x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed,
-                   p, compute_dtype, chunk, interpret):
+                   p, compute_dtype, chunk, interpret, alpha=1.0):
     B, T, C = x.shape
     H = W1.shape[1]
     cdt = jnp.dtype(compute_dtype)
@@ -316,7 +332,7 @@ def _tail_bwd_impl(gout, x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed,
     if S is None or (interpret and p > 0.0):
         return _values_tail_bwd(gout, x, conv, s, _as2d(ln2s)[0],
                                 _as2d(ln2b)[0], W1, _as2d(b1)[0], W2,
-                                _as2d(b2)[0], seed, p, cdt)
+                                _as2d(b2)[0], seed, p, cdt, alpha)
     sp = _tail_specs(B, T, C, H, S)
     kwargs = {}
     if not interpret:
@@ -338,7 +354,7 @@ def _tail_bwd_impl(gout, x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed,
                  sp["b1"], sp["W2"], sp["vec"]]
     fn = pl.pallas_call(
         functools.partial(_tail_bwd_kernel, cdt=cdt, p=p, hidden=H,
-                          nchunks=sp["NC"]),
+                          nchunks=sp["NC"], alpha=alpha),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, sp["NC"]),
@@ -358,16 +374,17 @@ def _tail_bwd_impl(gout, x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed,
 
 
 def _tail_vjp_fwd(x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed,
-                  p, compute_dtype, chunk, interpret):
+                  p, compute_dtype, chunk, interpret, residual_alpha):
     out = _tail_fwd_impl(x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed,
-                         p, compute_dtype, chunk, interpret)
+                         p, compute_dtype, chunk, interpret, residual_alpha)
     return out, (x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed)
 
 
-def _tail_vjp_bwd(p, compute_dtype, chunk, interpret, res, gout):
+def _tail_vjp_bwd(p, compute_dtype, chunk, interpret, residual_alpha, res,
+                  gout):
     *arrs, seed = res
     grads = _tail_bwd_impl(gout, *arrs, seed, p, compute_dtype, chunk,
-                           interpret)
+                           interpret, residual_alpha)
     import numpy as _np
 
     d_seed = _np.zeros(_np.shape(seed), jax.dtypes.float0)

@@ -25,16 +25,15 @@ def _fused_mesh_mode(cfg: TrainConfig, mesh: Mesh):
 
     "dp": only dp sharded — shard_map the whole fused step, each device
     drives its batch shard through the per-batch-element grid kernels.
-    "sp": sp > 1 (dp free to combine) — the sequence-parallel tail route
-    (models/fused_apply._tail_sp): Ulysses all-to-all conv + per-time-
-    shard tail kernels.  None: tp > 1 (the FFN hidden axis shards INSIDE
-    the kernel operands) or a non-standard block — flax paths."""
+    "mesh": sp > 1 and/or tp > 1 (dp free to combine) — the mesh tail
+    route (models/fused_apply._tail_mesh): Ulysses all-to-all conv under
+    sp + per-shard tail kernels, hidden-sharded FFN (residual_alpha
+    partial-sum + psum) under tp.  None: a non-standard block — flax
+    paths."""
     if not cfg.use_fused_block or cfg.bicameral or cfg.frequency_native:
         return None
-    if mesh.shape.get("tp", 1) > 1:
-        return None
-    if mesh.shape.get("sp", 1) > 1:
-        return "sp"
+    if mesh.shape.get("sp", 1) > 1 or mesh.shape.get("tp", 1) > 1:
+        return "mesh"
     return "dp"
 
 
@@ -53,11 +52,12 @@ def make_sharded_train_step(model, cfg: TrainConfig, tx, mesh: Mesh) -> Callable
     """
 
     fused_mode = _fused_mesh_mode(cfg, mesh)
-    if fused_mode == "sp":
-        # sequence-parallel fused route: fused_lm_apply on GLOBAL arrays —
-        # the Ulysses conv + per-shard tail shard_maps live inside it, and
-        # jit's sharding propagation handles the rest (pooled-gate psum
-        # over sp, grad psums over dp) exactly as for the flax path.
+    if fused_mode == "mesh":
+        # sp/tp fused route: fused_lm_apply on GLOBAL arrays — the
+        # Ulysses conv + per-shard tail shard_maps (incl. the tp hidden
+        # split + psum) live inside it, and jit's sharding propagation
+        # handles the rest (pooled-gate psum over sp, grad psums over dp)
+        # exactly as for the flax path.
         from spectral_tpu.models.fused_apply import fused_lm_apply
 
         def loss_fn(params, bx, by, cutoff, rng):

@@ -138,7 +138,7 @@ class TestFusedDP:
 class TestFusedSP:
     """The fused kernels under SEQUENCE parallelism: the tail route splits
     as Ulysses all-to-all conv (global XLA) + per-time-shard tail kernels
-    (shard_map) — models/fused_apply._tail_sp."""
+    (shard_map) — models/fused_apply._tail_mesh."""
 
     def _setup(self, dropout=0.0):
         from spectral_tpu.models.backbone import FixedSpectralLM
@@ -160,9 +160,10 @@ class TestFusedSP:
 
         cfg = TrainConfig(use_fused_block=True)
         assert _fused_mesh_mode(cfg, make_mesh(dp=8, sp=1, tp=1)) == "dp"
-        assert _fused_mesh_mode(cfg, make_mesh(dp=2, sp=2, tp=1)) == "sp"
-        assert _fused_mesh_mode(cfg, make_mesh(dp=1, sp=4, tp=1)) == "sp"
-        assert _fused_mesh_mode(cfg, make_mesh(dp=2, sp=2, tp=2)) is None
+        assert _fused_mesh_mode(cfg, make_mesh(dp=2, sp=2, tp=1)) == "mesh"
+        assert _fused_mesh_mode(cfg, make_mesh(dp=1, sp=4, tp=1)) == "mesh"
+        assert _fused_mesh_mode(cfg, make_mesh(dp=4, sp=1, tp=2)) == "mesh"
+        assert _fused_mesh_mode(cfg, make_mesh(dp=2, sp=2, tp=2)) == "mesh"
         assert _fused_mesh_mode(TrainConfig(), make_mesh(dp=2, sp=2, tp=1)) is None
 
     def test_sp_fused_forward_and_grads_match_flax(self):
@@ -229,7 +230,7 @@ class TestFusedSP:
         ref_step = make_train_step(model, cfg, tx)  # fused single-device
         p_ref, _, loss_ref = ref_step(p_ref, tx.init(p_ref), bx, by, *args)
 
-        assert _fused_mesh_mode(cfg, mesh) == "sp"
+        assert _fused_mesh_mode(cfg, mesh) == "mesh"
         with mesh:
             p_sh = shard_params(jax.tree.map(lambda x: x.copy(), params0), mesh)
             opt = tx.init(p_sh)
@@ -248,6 +249,109 @@ class TestFusedSP:
         from spectral_tpu.train.trainer import make_optimizer
 
         cfg, model, params0, mesh = self._setup(dropout=0.1)
+        rng = np.random.default_rng(0)
+        bx = jnp.asarray(rng.integers(0, 256, (2, 4, 64)).astype(np.int32))
+        by = jnp.asarray(rng.integers(0, 256, (2, 4, 64)).astype(np.int32))
+        tx = make_optimizer(cfg)
+        with mesh:
+            p = shard_params(jax.tree.map(lambda x: x.copy(), params0), mesh)
+            opt = tx.init(p)
+            step, opt = make_sharded_train_step(model, cfg, tx, mesh)(p, opt)
+            p, _, loss = step(p, opt, bx, by, jnp.int32(24), jnp.float32(1e-3),
+                              jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+
+
+class TestFusedTP:
+    """The fused tail under TENSOR parallelism: hidden-sharded FFN
+    (Megatron column/row split) + residual_alpha=1/tp partial sums whose
+    psum over tp is EXACTLY the unsharded tail — models/fused_apply.
+    _tail_mesh.  Closes the last flax-only mesh mode (ROADMAP r3)."""
+
+    def _setup(self, dp=4, sp=1, tp=2, dropout=0.0):
+        from spectral_tpu.models.backbone import FixedSpectralLM
+        from spectral_tpu.models.config import TrainConfig
+
+        cfg = TrainConfig(
+            d_model=64, n_layers=2, seq_len=64, kernel_len=16,
+            jpeg_transition=8, batch_size=4, accum_steps=2, dropout=dropout,
+            use_fused_block=True, compute_dtype="float32",
+        )
+        model = FixedSpectralLM(cfg)
+        x0 = jnp.zeros((4, 64), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), x0)["params"]
+        return cfg, model, params, make_mesh(dp=dp, sp=sp, tp=tp)
+
+    def test_tp_fused_forward_and_grads_match_flax(self):
+        from spectral_tpu.models.fused_apply import fused_lm_apply
+        from spectral_tpu.train.evaluate import cross_entropy
+
+        cfg, model, params, mesh = self._setup(dp=4, sp=1, tp=2)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.integers(0, 256, (4, 64)).astype(np.int32))
+        y = jnp.asarray(rng.integers(0, 256, (4, 64)).astype(np.int32))
+
+        ref = model.apply({"params": params}, x, cutoff=jnp.int32(24), deterministic=True)
+        with mesh:
+            out = jax.jit(
+                lambda p, t: fused_lm_apply(p, t, cfg, cutoff=jnp.int32(24),
+                                            deterministic=True, mesh=mesh)
+            )(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+        def loss_tp(p):
+            return cross_entropy(
+                fused_lm_apply(p, x, cfg, cutoff=jnp.int32(24),
+                               deterministic=True, mesh=mesh), y)
+
+        def loss_ref(p):
+            return cross_entropy(
+                model.apply({"params": p}, x, cutoff=jnp.int32(24),
+                            deterministic=True), y)
+
+        with mesh:
+            g_tp = jax.jit(jax.grad(loss_tp))(params)
+        g_ref = jax.grad(loss_ref)(params)
+        for a, b in zip(jax.tree.leaves(g_tp), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+    def test_full_mesh_dp_sp_tp_train_step_matches_single_device(self):
+        """dp=2 x sp=2 x tp=2: all three axes shard the FUSED step at once."""
+        from spectral_tpu.parallel.sharded_train import (
+            _fused_mesh_mode,
+            make_sharded_train_step,
+        )
+        from spectral_tpu.train.trainer import make_optimizer, make_train_step
+
+        cfg, model, params0, mesh = self._setup(dp=2, sp=2, tp=2)
+        rng = np.random.default_rng(0)
+        bx = jnp.asarray(rng.integers(0, 256, (2, 4, 64)).astype(np.int32))
+        by = jnp.asarray(rng.integers(0, 256, (2, 4, 64)).astype(np.int32))
+        args = (jnp.int32(24), jnp.float32(1e-3), jax.random.PRNGKey(1))
+        tx = make_optimizer(cfg)
+
+        p_ref = jax.tree.map(lambda x: x.copy(), params0)
+        ref_step = make_train_step(model, cfg, tx)  # fused single-device
+        p_ref, _, loss_ref = ref_step(p_ref, tx.init(p_ref), bx, by, *args)
+
+        assert _fused_mesh_mode(cfg, mesh) == "mesh"
+        with mesh:
+            p_sh = shard_params(jax.tree.map(lambda x: x.copy(), params0), mesh)
+            opt = tx.init(p_sh)
+            step, opt = make_sharded_train_step(model, cfg, tx, mesh)(p_sh, opt)
+            p_sh, _, loss_sh = step(p_sh, opt, bx, by, *args)
+
+        np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+    def test_tp_fused_dropout_step_runs_finite(self):
+        """Dropout under tp: conv/output masks shared across tp shards (the
+        psum linearity requires it), hidden mask tp-correlated by design."""
+        from spectral_tpu.parallel.sharded_train import make_sharded_train_step
+        from spectral_tpu.train.trainer import make_optimizer
+
+        cfg, model, params0, mesh = self._setup(dp=4, sp=1, tp=2, dropout=0.1)
         rng = np.random.default_rng(0)
         bx = jnp.asarray(rng.integers(0, 256, (2, 4, 64)).astype(np.int32))
         by = jnp.asarray(rng.integers(0, 256, (2, 4, 64)).astype(np.int32))
