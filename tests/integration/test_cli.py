@@ -41,17 +41,10 @@ class TestTrainerCLIs:
         run_cli("scripts.generate_chunked_overlap_save", ["--ckpt", ckpt, "--prompt", "the", "--chunks", "2"])
         run_cli("scripts.generate_chunked_stateful", ["--ckpt", ckpt, "--prompt", "the", "--chunks", "2"])
 
-    def test_segmentation_head_trainer_via_api(self, corpus, tmp_path):
-        """The segmentation head has no dedicated reference CLI; cover it via
-        the shared loop."""
-        from spectral_tpu.models.config import TrainConfig
-        from spectral_tpu.train.chunk_trainer import train_chunk
-
-        cfg = TrainConfig(
-            data_path=corpus, d_model=32, n_layers=1, seq_len=64, kernel_len=16,
-            jpeg_transition=8, batch_size=2, epochs=1, steps_per_epoch=4,
-            log_every_steps=0, dropout=0.0,
-            ckpt_path=str(tmp_path / "seg.msgpack"),
-        )
-        out = train_chunk(cfg, head="segmentation", chunk=8, log=lambda s: None)
-        assert out["state"].epoch == 1
+    def test_segmentation_head_trainer_cli(self, corpus, tmp_path):
+        """The segmentation head has no reference CLI; ours is
+        scripts.train_segmented over the shared loop."""
+        ckpt = str(tmp_path / "seg.msgpack")
+        run_cli("scripts.train_segmented", ["--data", corpus, "--ckpt-path", ckpt, "--chunk", "8"] + TINY)
+        assert os.path.exists(ckpt) and os.path.exists(ckpt + ".sha256")
+        run_cli("scripts.generate_chunk_simple", ["--ckpt", ckpt, "--prompt", "the", "--chunks", "2"])
