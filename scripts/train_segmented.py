@@ -5,7 +5,7 @@ The reference defines the segmentation head and its combined loss
 an inline self-test.  Here the shared chunk-training loop
 (`spectral_tpu.train.chunk_trainer`) already generalizes over heads, so a
 corpus-scale segmentation run is just a head selection: word-boundary
-targets come from `train/data.get_word_boundaries` (the reference's
+targets come from `models/segmentation_head.get_word_boundaries` (the reference's
 `get_word_boundaries`, segmentation_head.py:58) and the loss is
 char CE + BCE boundary loss (compute_segmented_loss, segmentation_head.py:158).
 """

@@ -40,6 +40,7 @@ class TestTrainerCLIs:
         run_cli("scripts.generate_chunk_simple", ["--ckpt", ckpt, "--prompt", "the", "--chunks", "2"])
         run_cli("scripts.generate_chunked_overlap_save", ["--ckpt", ckpt, "--prompt", "the", "--chunks", "2"])
         run_cli("scripts.generate_chunked_stateful", ["--ckpt", ckpt, "--prompt", "the", "--chunks", "2"])
+        run_cli("scripts.eval_chunk_ckpt", ["--ckpt", ckpt, "--data", corpus, "--windows", "4", "--batch-size", "2"])
 
     def test_segmentation_head_trainer_cli(self, corpus, tmp_path):
         """The segmentation head has no reference CLI; ours is
