@@ -287,6 +287,21 @@ def main() -> None:
 
     import jax
 
+    # Fail fast (and loudly) if the tunneled chip is unreachable: backend
+    # init blocks inside jax.devices(), so a dead tunnel would otherwise
+    # hang the driver's bench run forever with no diagnostic.
+    import threading
+
+    probe_done = threading.Event()
+    threading.Thread(target=lambda: (jax.devices(), probe_done.set()), daemon=True).start()
+    if not probe_done.wait(timeout=float(__import__("os").environ.get("BENCH_DEVICE_TIMEOUT_S", "900"))):
+        print(
+            "bench.py: device backend init did not complete within the timeout "
+            "(tunneled TPU unreachable?) — aborting instead of hanging",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+
     backend = args.backend
     if backend is None:
         # the band-limited projection is the fastest seq-4k path on TPU —
