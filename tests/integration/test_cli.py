@@ -42,6 +42,21 @@ class TestTrainerCLIs:
         run_cli("scripts.generate_chunked_stateful", ["--ckpt", ckpt, "--prompt", "the", "--chunks", "2"])
         run_cli("scripts.eval_chunk_ckpt", ["--ckpt", ckpt, "--data", corpus, "--windows", "4", "--batch-size", "2"])
 
+    def test_bicameral_dual_freqnative_trainer_clis(self, corpus, tmp_path):
+        """The remaining trainer wrappers: phase-clock (bicameral), dual-head
+        (hash-teacher fallback), frequency-native — each trains tiny, writes a
+        ckpt, and round-trips through the arch-sniffing eval CLI."""
+        for module, name in [
+            ("scripts.train_bicameral", "pc"),
+            ("scripts.train_dual_head", "dual"),
+            ("scripts.train_frequency_native", "fn"),
+        ]:
+            ckpt = str(tmp_path / f"{name}.msgpack")
+            run_cli(module, ["--data", corpus, "--ckpt-path", ckpt, "--chunk", "8"] + TINY)
+            assert os.path.exists(ckpt) and os.path.exists(ckpt + ".sha256")
+            run_cli("scripts.eval_chunk_ckpt",
+                    ["--ckpt", ckpt, "--data", corpus, "--windows", "4", "--batch-size", "2"])
+
     def test_segmentation_head_trainer_cli(self, corpus, tmp_path):
         """The segmentation head has no reference CLI; ours is
         scripts.train_segmented over the shared loop."""
