@@ -7,6 +7,10 @@ Two paths (spectral_tpu/streaming):
                 quality matches eval_ckpt's sampler.
   --mode fir    — batched FIR: O(K)/token approximation (drops the per-bin
                 frequency gate; reference stream_generate_fast.py:93-96).
+  --mode engine — continuous batching over the exact decoder: --slots device
+                lanes drain the prompt queue, retiring/admitting between
+                --decode-chunk-token scans (streaming/engine.py).  Use when
+                requests outnumber lanes or lengths vary.
 
 Usage:
     python -m scripts.serve_fleet --ckpt checkpoints/code_d512x6.msgpack \
@@ -31,7 +35,10 @@ def main(argv=None) -> None:
                     help="file with one prompt per line (overrides --prompt/--streams)")
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--max-new", type=int, default=256)
-    ap.add_argument("--mode", choices=["exact", "fir"], default="exact")
+    ap.add_argument("--mode", choices=["exact", "fir", "engine"], default="exact")
+    ap.add_argument("--slots", type=int, default=8, help="engine mode: device lanes")
+    ap.add_argument("--decode-chunk", type=int, default=32,
+                    help="engine mode: tokens per device scan between host syncs")
     ap.add_argument("--buf-dtype", choices=["float32", "bfloat16"],
                     default="float32",
                     help="exact mode: bf16 window buffers (measured: no "
@@ -71,6 +78,15 @@ def main(argv=None) -> None:
         dec = OverlapSaveBatch(params, cfg, buf_dtype=args.buf_dtype)
         outs = overlap_save_generate_batch(dec, prompts, max_new=args.max_new,
                                            seed=args.seed)
+    elif args.mode == "engine":
+        from spectral_tpu.streaming.engine import Request, ServingEngine
+
+        eng = ServingEngine(params, cfg, slots=args.slots,
+                            decode_chunk=args.decode_chunk,
+                            buf_dtype=args.buf_dtype)
+        outs = eng.run([Request(prompt=p, max_new=args.max_new,
+                                seed=args.seed + i)
+                        for i, p in enumerate(prompts)])
     else:
         from spectral_tpu.streaming.fir import FIRStream, fir_generate_batch
 

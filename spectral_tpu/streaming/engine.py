@@ -1,0 +1,183 @@
+"""Continuous-batching serving engine over the exact overlap-save decoder.
+
+The fleet decoders (`fir_generate_batch`, `overlap_save_generate_batch`)
+serve a FIXED batch of N streams that start and stop together.  A serving
+deployment gets a QUEUE: requests arrive over time, finish at different
+lengths, and the batch slot a request occupied should immediately serve
+the next one.  The reference has no counterpart (its recommended decoder,
+scripts/generate_chunked_overlap_save.py:78-206, is strictly single-
+stream); this engine is the production shape of that exact decoder:
+
+* ``slots`` fixed device lanes (static shapes — XLA recompiles nothing
+  as requests come and go);
+* decode advances in jitted ``decode_chunk``-token scans for ALL lanes;
+  between chunks the host retires finished requests and admits pending
+  ones (the measured cost model: the scan itself supports ~300K bytes/s,
+  end-to-end is host-RTT-amortization-bound — experiments/profile_decode);
+* admission = one [1, T] prefill (the same full-window forward
+  ``OverlapSaveBatch.init_state`` runs) + a rotation of the fresh
+  circular window into the engine's global write phase, so a request's
+  math is IDENTICAL no matter when it is admitted;
+* every lane carries its own PRNG key and sampler state, so a request's
+  output depends only on (its seed, its prompt) — NOT on co-tenants or
+  arrival order.  tests/unit/test_engine.py pins exactly this.
+
+Inactive lanes keep decoding garbage into their own (isolated) windows —
+cheaper than masking, and the next admission overwrites the lane wholesale.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.models.config import TrainConfig
+from spectral_tpu.streaming.fir import DeviceSampler
+from spectral_tpu.streaming.overlap_save_batch import OverlapSaveBatch
+
+
+@dataclass
+class Request:
+    prompt: str
+    max_new: int = 128
+    seed: int = 0
+    stop: str | None = None
+
+
+@dataclass
+class _Lane:
+    index: int  # position in the submitted request list
+    req: Request
+    prompt_bytes: list = field(default_factory=list)
+    out_bytes: list = field(default_factory=list)
+
+
+class ServingEngine:
+    """Queue-draining exact decoder: fixed lanes, continuous admission."""
+
+    def __init__(self, params: dict, cfg: TrainConfig, *, slots: int = 8,
+                 decode_chunk: int = 32, buf_dtype: str = "float32"):
+        self.dec = OverlapSaveBatch(params, cfg, buf_dtype=buf_dtype)
+        self.sampler = DeviceSampler(cfg)
+        self.cfg = cfg
+        self.slots = int(slots)
+        self.chunk = int(decode_chunk)
+        self._admit_fn = jax.jit(self._admit_impl, donate_argnums=(0, 1, 2, 3))
+        self._decode_fn = jax.jit(self._decode_impl, donate_argnums=(1, 2, 3, 4))
+
+    # -- device programs ----------------------------------------------------
+
+    def _admit_impl(self, bufs, samp, logits, keys, ptr, slot,
+                    fresh_bufs, fresh_logits, fresh_samp, fresh_key):
+        """Insert a freshly prefilled stream into lane ``slot``.
+
+        ``fresh_bufs`` come from a ptr=0 prefill (oldest at slot 0); the
+        engine's next write goes to slot ``ptr``, so rotate the fresh
+        window by ``ptr`` along time — after which the lane is
+        indistinguishable from one initialized at engine start.
+        """
+        new_bufs = [
+            b.at[slot].set(jnp.roll(f[0], ptr, axis=0).astype(b.dtype))
+            for b, f in zip(bufs, fresh_bufs)
+        ]
+        samp = jax.tree.map(lambda s, f: s.at[slot].set(f), samp, fresh_samp)
+        logits = logits.at[slot].set(fresh_logits[0])
+        keys = keys.at[slot].set(fresh_key)
+        return new_bufs, samp, logits, keys
+
+    def _decode_impl(self, params, bufs, samp, logits, keys, ptr):
+        """``chunk`` tokens for every lane in one scan.  Per-lane keys:
+        lane output is a pure function of (lane seed, lane logits)."""
+        dec, sampler = self.dec, self.sampler
+        taps_list = dec.taps_list
+
+        def body(carry, _):
+            bufs, samp, logits, keys, ptr = carry
+            l = jax.vmap(sampler.process_logits)(logits, samp)
+            split = jax.vmap(jax.random.split)(keys)  # [N, 2, 2]
+            keys, subs = split[:, 0], split[:, 1]
+            nxt, samp = jax.vmap(sampler.draw_and_update)(subs, l, samp)
+            (bufs, ptr), logits = dec._token_step(params, taps_list, (bufs, ptr), nxt)
+            return (bufs, samp, logits, keys, ptr), nxt
+
+        (bufs, samp, logits, keys, ptr), out = jax.lax.scan(
+            body, (bufs, samp, logits, keys, ptr), None, length=self.chunk)
+        return bufs, samp, logits, keys, ptr, out  # out [chunk, N]
+
+    # -- host loop ----------------------------------------------------------
+
+    def _blank_state(self):
+        N, T = self.slots, self.dec.T
+        blank = np.full((N, T), 32, np.int32)
+        (bufs, ptr), logits = self.dec.init_state(blank)
+        samp = jax.tree.map(
+            lambda *leaves: jnp.stack(leaves),
+            *[self.sampler.init_state([32]) for _ in range(N)],
+        )
+        keys = jnp.stack([jax.random.PRNGKey(0)] * N)
+        return bufs, samp, logits, keys, ptr
+
+    def _prefill(self, req: Request):
+        enc = list(req.prompt.encode("utf-8", errors="ignore")) or [32]
+        T = self.dec.T
+        window = np.full((1, T), 32, np.int32)
+        tail = enc[-T:]
+        window[0, T - len(tail):] = tail
+        fresh_bufs, _, fresh_logits = self.dec._init_fn(
+            self.dec.params, jnp.asarray(window))
+        fresh_samp = self.sampler.init_state(enc)
+        fresh_key = jax.random.PRNGKey(req.seed)
+        return enc, fresh_bufs, fresh_logits, fresh_samp, fresh_key
+
+    def run(self, requests: list, *, progress=None) -> list[str]:
+        """Drain a request queue; returns prompt+completion per request, in
+        submission order.  ``progress(done, total)`` is called per chunk."""
+        pending = deque(
+            (i, r if isinstance(r, Request) else Request(prompt=str(r)))
+            for i, r in enumerate(requests)
+        )
+        results: list = [None] * len(requests)
+        bufs, samp, logits, keys, ptr = self._blank_state()
+        free = list(range(self.slots))
+        lanes: dict[int, _Lane] = {}
+        chunks = 0
+
+        while pending or lanes:
+            while pending and free:
+                slot = free.pop()
+                idx, req = pending.popleft()
+                enc, fb, fl, fs, fk = self._prefill(req)
+                bufs, samp, logits, keys = self._admit_fn(
+                    bufs, samp, logits, keys, ptr, jnp.int32(slot), fb, fl, fs, fk)
+                lanes[slot] = _Lane(index=idx, req=req, prompt_bytes=enc)
+
+            bufs, samp, logits, keys, ptr, out = self._decode_fn(
+                self.dec.params, bufs, samp, logits, keys, ptr)
+            out = np.asarray(out)
+            chunks += 1
+
+            for slot in list(lanes):
+                lane = lanes[slot]
+                take = min(self.chunk, lane.req.max_new - len(lane.out_bytes))
+                lane.out_bytes.extend(int(b) for b in out[:take, slot])
+                done = len(lane.out_bytes) >= lane.req.max_new
+                if lane.req.stop:
+                    stop_b = lane.req.stop.encode("utf-8")
+                    pos = bytes(lane.out_bytes).find(stop_b)
+                    if pos >= 0:
+                        lane.out_bytes = lane.out_bytes[: pos + len(stop_b)]
+                        done = True
+                if done:
+                    results[lane.index] = bytes(
+                        lane.prompt_bytes + lane.out_bytes
+                    ).decode("utf-8", errors="replace")
+                    del lanes[slot]
+                    free.append(slot)
+            if progress is not None:
+                progress(sum(1 for r in results if r is not None), len(requests))
+
+        return results

@@ -1,0 +1,100 @@
+"""Continuous-batching serving engine (streaming/engine.py).
+
+The engine's contract: a request's output is a pure function of
+(prompt, seed, params) — independent of which lane it lands in, which
+requests share the batch, and when it was admitted relative to the
+engine's circular-buffer phase.  That is exactly what the buffer
+rotation in ``_admit_impl`` plus per-lane PRNG keys must buy.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.streaming.engine import Request, ServingEngine
+
+from test_streaming import make_model, tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg(n_layers=2)
+    model, params = make_model(cfg, open_freq_gate=False, active_ctx_gate=True)
+    return cfg, params
+
+
+class TestServingEngine:
+    def test_queue_drains_in_submission_order(self, setup):
+        cfg, params = setup
+        eng = ServingEngine(params, cfg, slots=2, decode_chunk=8)
+        reqs = [Request(prompt=f"req {i}: the cat", max_new=8 + 4 * i, seed=i)
+                for i in range(5)]
+        results = eng.run(reqs)
+        assert len(results) == 5
+        for i, (req, res) in enumerate(zip(reqs, results)):
+            assert res is not None
+            body = res.encode("utf-8", errors="ignore")
+            assert res.startswith(f"req {i}:")
+            # completion is exactly max_new bytes (no stop sequences here)
+            enc = req.prompt.encode("utf-8")
+            assert len(res.encode("utf-8", errors="replace")) >= len(enc)
+
+    def test_output_invariant_to_cotenants_and_arrival(self, setup):
+        """The same (prompt, seed) request must produce the same text when
+        served alone in a 1-lane engine and when queued behind/alongside
+        other requests in a busy 2-lane engine (different lane, different
+        admission phase ptr != 0, different co-tenants)."""
+        cfg, params = setup
+        probe = Request(prompt="the cat sat on", max_new=24, seed=42)
+
+        alone = ServingEngine(params, cfg, slots=1, decode_chunk=8).run([probe])[0]
+
+        noise = [Request(prompt=f"noise {i} " * 3, max_new=12 + 8 * i, seed=100 + i)
+                 for i in range(3)]
+        # probe is queued third: it gets admitted mid-run, at a nonzero
+        # circular-buffer phase, into whichever lane frees first
+        busy = ServingEngine(params, cfg, slots=2, decode_chunk=8).run(
+            noise[:2] + [probe] + noise[2:])
+        assert busy[2] == alone
+
+    def test_chunk_size_does_not_change_output(self, setup):
+        """Chunking is a host-sync granularity, not math: the same queue
+        must produce identical results under different decode_chunk."""
+        cfg, params = setup
+        reqs = [Request(prompt="alpha beta", max_new=16, seed=7),
+                Request(prompt="gamma delta", max_new=16, seed=8)]
+        a = ServingEngine(params, cfg, slots=2, decode_chunk=4).run(reqs)
+        b = ServingEngine(params, cfg, slots=2, decode_chunk=16).run(reqs)
+        assert a == b
+
+    def test_stop_sequence_truncates(self, setup):
+        cfg, params = setup
+        eng = ServingEngine(params, cfg, slots=1, decode_chunk=8)
+        req = Request(prompt="hello", max_new=40, seed=3, stop=" ")
+        (res,) = eng.run([req])
+        comp = res.encode("utf-8", errors="replace")[len(b"hello"):]
+        # either the stop byte was hit (completion ends with it, nothing
+        # after) or it never occurred within max_new bytes
+        if b" " in comp:
+            assert comp.endswith(b" ")
+            assert len(comp) <= 40
+        else:
+            assert len(comp) == 40
+
+    def test_prefill_matches_decoder_init(self, setup):
+        """Admission logits == OverlapSaveBatch.init_state on the same
+        padded window (the engine adds no math of its own at prefill)."""
+        from spectral_tpu.streaming.overlap_save_batch import OverlapSaveBatch
+
+        cfg, params = setup
+        eng = ServingEngine(params, cfg, slots=1, decode_chunk=4)
+        req = Request(prompt="the cat", max_new=4, seed=0)
+        enc, fb, fl, fs, fk = eng._prefill(req)
+
+        dec = OverlapSaveBatch(params, cfg)
+        T = dec.T
+        window = np.full((1, T), 32, np.int32)
+        window[0, T - len(enc):] = enc
+        _, logits = dec.init_state(window)
+        np.testing.assert_allclose(np.asarray(fl), np.asarray(logits),
+                                   rtol=1e-5, atol=1e-5)
