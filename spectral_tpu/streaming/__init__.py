@@ -10,11 +10,15 @@ The reference's "infinite context" machinery (SURVEY.md §2.10 row 4):
 * ``overlap_save_batch`` — the exact decoder BATCHED: N streams, full gate
   stack, one ``lax.scan`` (no reference counterpart — its torch version is
   single-stream with a Python chunk loop).
+* ``engine`` — continuous batching over the exact decoder: fixed device
+  lanes drain a request queue, admitting/retiring between chunked scans
+  (no reference counterpart).
 
 Both are expressed as pure (params, state) -> (state, out) functions that jit
 and ``lax.scan`` cleanly.
 """
 
+from spectral_tpu.streaming.engine import Request, ServingEngine
 from spectral_tpu.streaming.fir import DeviceSampler, FIRStream, fir_generate_on_device
 from spectral_tpu.streaming.overlap_save import OverlapSaveStream
 from spectral_tpu.streaming.overlap_save_batch import (
@@ -29,4 +33,6 @@ __all__ = [
     "DeviceSampler",
     "fir_generate_on_device",
     "overlap_save_generate_batch",
+    "Request",
+    "ServingEngine",
 ]
