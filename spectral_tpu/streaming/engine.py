@@ -60,12 +60,30 @@ class ServingEngine:
     """Queue-draining exact decoder: fixed lanes, continuous admission."""
 
     def __init__(self, params: dict, cfg: TrainConfig, *, slots: int = 8,
-                 decode_chunk: int = 32, buf_dtype: str = "float32"):
+                 decode_chunk: int = 32, buf_dtype: str = "float32",
+                 mesh=None):
         self.dec = OverlapSaveBatch(params, cfg, buf_dtype=buf_dtype)
         self.sampler = DeviceSampler(cfg)
         self.cfg = cfg
         self.slots = int(slots)
         self.chunk = int(decode_chunk)
+        # Data-parallel serving: every lane op is independent along N, so
+        # sharding the lane axis over the mesh's dp devices needs ZERO
+        # collectives — params replicate, lane state splits.  The jitted
+        # decode/admit programs are annotation-free; the shardings below
+        # propagate through them.
+        self._lane_sharding = self._param_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            dp = mesh.shape.get("dp", mesh.devices.size)
+            if self.slots % dp != 0:
+                raise ValueError(f"slots ({self.slots}) must divide evenly "
+                                 f"over dp={dp} mesh devices")
+            self._lane_sharding = NamedSharding(mesh, PartitionSpec("dp"))
+            self._param_sharding = NamedSharding(mesh, PartitionSpec())
+            self.dec.params = jax.device_put(self.dec.params, self._param_sharding)
+            self.dec.taps_list = jax.device_put(self.dec.taps_list, self._param_sharding)
         self._admit_fn = jax.jit(self._admit_impl, donate_argnums=(0, 1, 2, 3))
         self._decode_fn = jax.jit(self._decode_impl, donate_argnums=(1, 2, 3, 4))
 
@@ -119,6 +137,11 @@ class ServingEngine:
             *[self.sampler.init_state([32]) for _ in range(N)],
         )
         keys = jnp.stack([jax.random.PRNGKey(0)] * N)
+        if self._lane_sharding is not None:
+            bufs = jax.device_put(bufs, self._lane_sharding)
+            samp = jax.device_put(samp, self._lane_sharding)
+            logits = jax.device_put(logits, self._lane_sharding)
+            keys = jax.device_put(keys, self._lane_sharding)
         return bufs, samp, logits, keys, ptr
 
     def _prefill(self, req: Request):

@@ -81,6 +81,24 @@ class TestServingEngine:
         else:
             assert len(comp) == 40
 
+    def test_mesh_sharded_lanes_match_unsharded(self, setup):
+        """Data-parallel serving: lanes sharded over a dp mesh produce
+        byte-identical results (lane ops are independent along N — the
+        sharding introduces no collectives and no math change)."""
+        import jax
+        from jax.sharding import Mesh
+
+        cfg, params = setup
+        reqs = [Request(prompt=f"prompt {i}", max_new=12, seed=20 + i)
+                for i in range(6)]
+        base = ServingEngine(params, cfg, slots=4, decode_chunk=8).run(reqs)
+
+        devs = np.asarray(jax.devices()[:4]).reshape(4, 1, 1)
+        mesh = Mesh(devs, axis_names=("dp", "sp", "tp"))
+        sharded = ServingEngine(params, cfg, slots=4, decode_chunk=8,
+                                mesh=mesh).run(reqs)
+        assert sharded == base
+
     def test_prefill_matches_decoder_init(self, setup):
         """Admission logits == OverlapSaveBatch.init_state on the same
         padded window (the engine adds no math of its own at prefill)."""
