@@ -60,11 +60,21 @@ def verify_checkpoint(path: str) -> None:
 
 
 def load_checkpoint(path: str, *, verify: bool = True) -> dict:
-    """Verify-then-load (refuses to read a tampered/corrupt file)."""
+    """Verify-then-load (refuses to read a tampered/corrupt file).
+
+    Quantized serving artifacts (train/quantize.py) are transparently
+    dequantized, so every eval/generate/serve CLI accepts a ``.q8``
+    checkpoint unchanged.
+    """
     if verify:
         verify_checkpoint(path)
     with open(path, "rb") as f:
-        return serialization.msgpack_restore(f.read())
+        payload = serialization.msgpack_restore(f.read())
+    from spectral_tpu.train.quantize import dequantize_payload, is_quantized_payload
+
+    if is_quantized_payload(payload):
+        payload = dequantize_payload(payload)
+    return payload
 
 
 # ---------------------------------------------------------------------------
