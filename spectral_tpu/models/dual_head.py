@@ -7,6 +7,7 @@ inference; the character head is the actual generator.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -96,6 +97,10 @@ def get_gpt2_tokenizer():
     global _tokenizer_cache
     if _tokenizer_cache is None:
         try:
+            # fail fast when the hub is unreachable (zero-egress hosts):
+            # without this, from_pretrained stalls through 5 retry rounds
+            # before the offline fallback kicks in
+            os.environ.setdefault("HF_HUB_OFFLINE", "1")
             from transformers import GPT2TokenizerFast
 
             _tokenizer_cache = GPT2TokenizerFast.from_pretrained("gpt2")
