@@ -1,6 +1,6 @@
 """Quantize a trained checkpoint into a ~4x smaller serving artifact.
 
-The reference defines log8 quantization (zero_materialization.py:455-568)
+The reference defines log8 quantization (zero_materialize.py:455-568)
 but never applies it to its own trained checkpoints; here it is a real
 deployment step.  The output is a normal msgpack checkpoint with uint8
 parameter planes + per-tensor fp32 scales; ``load_checkpoint``

@@ -1,7 +1,7 @@
 """Post-training checkpoint quantization: 4x-smaller serving artifacts.
 
 The reference ships two quantizer designs but never applies either to its
-own trained checkpoints (zero_materialization.py:455-568 defines log8 and
+own trained checkpoints (zero_materialize.py:455-568 defines log8 and
 sweeps it on synthetic spectra; no script quantizes a state dict).  Here
 quantization is a deployment feature: ``quantize_payload`` turns a trained
 checkpoint into a ~4x smaller serving artifact (uint8 planes + one fp32
@@ -16,7 +16,7 @@ window clamps real weight tensors, whose per-tensor max spans decades):
   ``octaves`` octaves below the per-tensor max — constant RELATIVE error
   (~2.3% half-step at the default 12 octaves).  Frequency-domain
   parameters follow a 1/f power law (the reference's own rationale for
-  log8, zero_materialization.py:455-468), so constant relative error fits
+  log8, zero_materialize.py:455-468), so constant relative error fits
   them better than int8's constant absolute error.
 - ``int8``: symmetric linear (q = round(127 x / max|x|)), the standard
   baseline, kept for comparison studies.

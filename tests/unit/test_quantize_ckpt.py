@@ -1,6 +1,6 @@
 """Checkpoint quantization: round-trip bounds, payload format, CLI.
 
-Reference counterpart: zero_materialization.py:455-568 defines log8 but the
+Reference counterpart: zero_materialize.py:455-568 defines log8 but the
 reference never applies it to a trained state dict; here quantized serving
 artifacts are a first-class deployment path (spectral_tpu/train/quantize.py)
 and load transparently through train.ckpt.load_checkpoint.
