@@ -22,6 +22,7 @@ CASES = {
     "seq4096": (512, 6, 4096, 4, 2),    # 32768 tok/step, tail + matmul-FFT conv
     "seq8192": (512, 6, 8192, 2, 2),    # 32768 tok/step, tail + matmul-FFT conv
     "d1024": (1024, 6, 1024, 4, 4),     # 16384 tok/step, tail (block misfits at d1024)
+    "seq16384": (512, 6, 16384, 1, 2),  # 32768 tok/step, tail + matmul-FFT conv
 }
 
 

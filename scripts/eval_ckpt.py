@@ -48,6 +48,9 @@ def main(argv=None) -> None:
         vloss_cut = eval_loss(apply_eval, params, corpus, starts, cfg, cutoff=int(cutoff))
         print(f"val loss (cutoff={cutoff}): {vloss_cut:.4f}")
 
+    if args.max_new <= 0:  # losses only: skip the generation compile
+        return
+
     apply_gen = lambda p, x, c, length: model.apply(
         {"params": p}, x, cutoff=c, deterministic=True, length=length
     )
