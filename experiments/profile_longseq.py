@@ -23,6 +23,12 @@ CASES = {
     "seq8192": (512, 6, 8192, 2, 2),    # 32768 tok/step, tail + matmul-FFT conv
     "d1024": (1024, 6, 1024, 4, 4),     # 16384 tok/step, tail (block misfits at d1024)
     "seq16384": (512, 6, 16384, 1, 2),  # 32768 tok/step, tail + matmul-FFT conv
+    # 32x/64x the reference's max context (README.md:254-261 recommends
+    # seq 2048 as its 24 GB ceiling); batch 1, accum 1 — the per-micro
+    # working set (n_fft 65536/131072 complex64 activations) is what has
+    # to fit, so tokens/step drops below the constant-token recipe here.
+    "seq32768": (512, 6, 32768, 1, 1),
+    "seq65536": (512, 6, 65536, 1, 1),
 }
 
 
