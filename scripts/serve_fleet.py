@@ -39,6 +39,10 @@ def main(argv=None) -> None:
     ap.add_argument("--slots", type=int, default=8, help="engine mode: device lanes")
     ap.add_argument("--decode-chunk", type=int, default=32,
                     help="engine mode: tokens per device scan between host syncs")
+    ap.add_argument("--policy", choices=["fifo", "priority", "sjf", "edf"],
+                    default="fifo",
+                    help="engine mode: admission order (sjf = shortest "
+                         "max_new first; outputs are policy-invariant)")
     ap.add_argument("--buf-dtype", choices=["float32", "bfloat16"],
                     default="float32",
                     help="exact mode: bf16 window buffers (measured: no "
@@ -83,7 +87,7 @@ def main(argv=None) -> None:
 
         eng = ServingEngine(params, cfg, slots=args.slots,
                             decode_chunk=args.decode_chunk,
-                            buf_dtype=args.buf_dtype)
+                            buf_dtype=args.buf_dtype, policy=args.policy)
         outs = eng.run([Request(prompt=p, max_new=args.max_new,
                                 seed=args.seed + i)
                         for i, p in enumerate(prompts)])

@@ -23,9 +23,19 @@ lower to contiguous copies:
      left-rolled by i — the classic shear;
   4. the last T columns are exactly M[i, j] = h[(i-j) mod n].
 
-Everything is XLA-autodiff-friendly: the adjoint of tile/slice/reshape is
-pad/segment-sum (no scatter), and the matmul's filter cotangent is the
-einsum XLA derives on its own — so no custom_vjp is needed.
+Backward (custom_vjp): XLA's own einsum adjoint would form the (T, T)
+filter-matrix cotangent dM = sum_{b,c} gy x^T — a THIRD O(T^2 B C) matmul
+(plus a 67 MB intermediate at T=4096) for a filter with only n_fft degrees
+of freedom.  The vjp below keeps the data cotangent on the MXU
+(d_x = M^T gy, same cost as forward) but computes the filter cotangent
+directly as the circular cross-correlation
+
+    d_h[d] = sum_{b,c,j} x[b,j,c] * gy[b,(j+d) mod n_fft,c]
+           = irfft( sum_{b,c} conj(rfft(x, n)) * rfft(gy, n) )
+
+— two batched MXU rfft's (ops/matfft.py) + one length-n irfft, ~1/10 the
+FLOPs of the dM matmul at T=4096.  Chip win: the conv's train-step share
+drops from 3 to ~2 matmul passes.
 
 The matrix depends only on (params, cutoff), so XLA hoists the build out
 of the gradient-accumulation scan; its cost amortizes over B*C columns.
@@ -38,6 +48,8 @@ tests/unit/test_toeplitz.py.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -65,18 +77,73 @@ def toeplitz_matrix(h_time: jax.Array, T: int, n_fft: int) -> jax.Array:
     return sheared[:, T - 1 :]
 
 
+def _conv_apply(x: jax.Array, h_time: jax.Array, n_fft: int, precision) -> jax.Array:
+    """The raw forward: (T, T) shear matrix @ [B, T, C] (no custom vjp)."""
+    B, T, C = x.shape
+    M = toeplitz_matrix(h_time, T, n_fft)
+    return jnp.einsum(
+        "ij,bjc->bic", M, x, precision=_precision(precision), preferred_element_type=jnp.float32
+    )
+
+
+def _filter_corr(x: jax.Array, gy: jax.Array, n_fft: int, precision) -> jax.Array:
+    """d_h_time[d] = sum_{b,c,j} x[b,j,c] * gy[b,(j+d) mod n_fft,c] — the
+    circular cross-correlation, via two batched MXU rfft's + one irfft."""
+    if n_fft & (n_fft - 1):  # non-pow2: vector-op FFT fallback (exact)
+        xf = jnp.fft.rfft(x, n=n_fft, axis=1)
+        gf = jnp.fft.rfft(gy, n=n_fft, axis=1)
+        prod = jnp.sum(jnp.conj(xf) * gf, axis=(0, 2))
+        return jnp.fft.irfft(prod, n=n_fft).astype(jnp.float32)
+
+    from spectral_tpu.ops.matfft import irfft_ri, rfft_ri
+
+    # matfft transforms the LAST axis: ride as [B, C, T]
+    p = _precision(precision)
+    xr, xi = rfft_ri(jnp.swapaxes(x, 1, 2), n_fft, p)
+    gr, gi = rfft_ri(jnp.swapaxes(gy, 1, 2), n_fft, p)
+    # sum_{b,c} conj(X) * G
+    sr = jnp.sum(xr * gr + xi * gi, axis=(0, 1))
+    si = jnp.sum(xr * gi - xi * gr, axis=(0, 1))
+    return irfft_ri(sr, si, n_fft, p).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv_vjp(x, h_time, n_fft, precision):
+    return _conv_apply(x, h_time, n_fft, precision)
+
+
+def _conv_vjp_fwd(x, h_time, n_fft, precision):
+    return _conv_apply(x, h_time, n_fft, precision), (x, h_time)
+
+
+def _conv_vjp_bwd(n_fft, precision, res, gy):
+    x, h_time = res
+    T = x.shape[1]
+    # d_x = M^T @ gy — the transposed-matrix contraction, same MXU cost as
+    # the forward (M rebuilt from taps: slice/tile/reshape, ~free)
+    M = toeplitz_matrix(h_time, T, n_fft)
+    d_x = jnp.einsum(
+        "ij,bic->bjc", M, gy, precision=_precision(precision), preferred_element_type=jnp.float32
+    )
+    d_h = _filter_corr(x, gy, n_fft, precision)
+    return d_x, d_h
+
+
+_conv_vjp.defvjp(_conv_vjp_fwd, _conv_vjp_bwd)
+
+
 def toeplitz_conv(x: jax.Array, h_time: jax.Array, n_fft: int, precision=None) -> jax.Array:
     """Causal spectral conv as one full-MXU matmul.
 
     x: [B, T, C] real; h_time: [n_fft] real time-domain filter taps (the
     irfft of the fused frequency filter).  Returns [B, T, C] — identical
     values to ``irfft_time(rfft_time(x, n_fft) * H, n_fft, T)``.
+
+    Carries the custom vjp described in the module docstring: d_x rides the
+    MXU as M^T gy; d_h_time is the FFT-domain circular correlation instead
+    of XLA's O(T^2 B C) dM matmul.
     """
-    B, T, C = x.shape
-    M = toeplitz_matrix(h_time, T, n_fft)
-    return jnp.einsum(
-        "ij,bjc->bic", M, x, precision=_precision(precision), preferred_element_type=jnp.float32
-    )
+    return _conv_vjp(x, h_time, n_fft, precision)
 
 
 def spectral_conv_direct(

@@ -24,6 +24,14 @@ stream); this engine is the production shape of that exact decoder:
 
 Inactive lanes keep decoding garbage into their own (isolated) windows —
 cheaper than masking, and the next admission overwrites the lane wholesale.
+
+Scheduling: admission order follows ``policy`` — "fifo" (default),
+"priority" (Request.priority, higher first), "sjf" (shortest max_new
+first — anti-convoy for heterogeneous lengths) or "edf" (earliest
+Request.deadline first).  Because per-request math is admission-invariant,
+policies change latency ordering only, never outputs.  The decode scan
+length adapts to the longest remaining lane (power-of-two buckets), so a
+queue tail of short requests stops paying full-chunk device time.
 """
 
 from __future__ import annotations
@@ -46,6 +54,8 @@ class Request:
     max_new: int = 128
     seed: int = 0
     stop: str | None = None
+    priority: int = 0  # higher admitted first under policy="priority"
+    deadline: float | None = None  # EDF key under policy="edf" (smaller first)
 
 
 @dataclass
@@ -61,12 +71,23 @@ class ServingEngine:
 
     def __init__(self, params: dict, cfg: TrainConfig, *, slots: int = 8,
                  decode_chunk: int = 32, buf_dtype: str = "float32",
-                 mesh=None):
+                 mesh=None, policy: str = "fifo"):
+        if policy not in ("fifo", "priority", "sjf", "edf"):
+            raise ValueError(
+                f"policy={policy!r}: expected 'fifo' (submission order), "
+                "'priority' (Request.priority, higher first), 'sjf' "
+                "(shortest max_new first) or 'edf' (earliest Request."
+                "deadline first)")
         self.dec = OverlapSaveBatch(params, cfg, buf_dtype=buf_dtype)
         self.sampler = DeviceSampler(cfg)
         self.cfg = cfg
         self.slots = int(slots)
         self.chunk = int(decode_chunk)
+        self.policy = policy
+        # observability: filled by run() — completion_order lists request
+        # indices in retire order; stats counts device work actually issued
+        self.completion_order: list[int] = []
+        self.stats = {"chunks": 0, "decoded_tokens": 0}
         # Data-parallel serving: every lane op is independent along N, so
         # sharding the lane axis over the mesh's dp devices needs ZERO
         # collectives — params replicate, lane state splits.  The jitted
@@ -85,7 +106,7 @@ class ServingEngine:
             self.dec.params = jax.device_put(self.dec.params, self._param_sharding)
             self.dec.taps_list = jax.device_put(self.dec.taps_list, self._param_sharding)
         self._admit_fn = jax.jit(self._admit_impl, donate_argnums=(0, 1, 2, 3))
-        self._decode_fn = jax.jit(self._decode_impl, donate_argnums=(1, 2, 3, 4))
+        self._decode_fns: dict[int, object] = {}  # scan length -> jitted fn
 
     # -- device programs ----------------------------------------------------
 
@@ -107,8 +128,8 @@ class ServingEngine:
         keys = keys.at[slot].set(fresh_key)
         return new_bufs, samp, logits, keys
 
-    def _decode_impl(self, params, bufs, samp, logits, keys, ptr):
-        """``chunk`` tokens for every lane in one scan.  Per-lane keys:
+    def _decode_impl(self, params, bufs, samp, logits, keys, ptr, *, length):
+        """``length`` tokens for every lane in one scan.  Per-lane keys:
         lane output is a pure function of (lane seed, lane logits)."""
         dec, sampler = self.dec, self.sampler
         taps_list = dec.taps_list
@@ -123,8 +144,19 @@ class ServingEngine:
             return (bufs, samp, logits, keys, ptr), nxt
 
         (bufs, samp, logits, keys, ptr), out = jax.lax.scan(
-            body, (bufs, samp, logits, keys, ptr), None, length=self.chunk)
-        return bufs, samp, logits, keys, ptr, out  # out [chunk, N]
+            body, (bufs, samp, logits, keys, ptr), None, length=length)
+        return bufs, samp, logits, keys, ptr, out  # out [length, N]
+
+    def _decode_fn(self, length: int):
+        """Jitted decode program for one scan-length bucket (cached)."""
+        fn = self._decode_fns.get(length)
+        if fn is None:
+            import functools
+
+            fn = jax.jit(functools.partial(self._decode_impl, length=length),
+                         donate_argnums=(1, 2, 3, 4))
+            self._decode_fns[length] = fn
+        return fn
 
     # -- host loop ----------------------------------------------------------
 
@@ -156,18 +188,57 @@ class ServingEngine:
         fresh_key = jax.random.PRNGKey(req.seed)
         return enc, fresh_bufs, fresh_logits, fresh_samp, fresh_key
 
+    def _admission_key(self, item):
+        """Sort key implementing the admission policy; stable sort keeps
+        submission order among ties, and results stay submission-indexed
+        regardless of policy."""
+        idx, req = item
+        if self.policy == "priority":
+            return (-req.priority, idx)
+        if self.policy == "sjf":
+            return (req.max_new, idx)
+        if self.policy == "edf":
+            d = req.deadline
+            return (d if d is not None else float("inf"), idx)
+        return idx  # fifo
+
+    def _bucket(self, lanes) -> int:
+        """Scan length for this iteration: the full decode_chunk while any
+        lane needs it, else the smallest power-of-two covering the longest
+        remaining lane — short tails stop paying for full chunks (the
+        anti-convoy half of the scheduling story; each distinct length is
+        one extra cached jit, bounded by log2(decode_chunk))."""
+        need = max(
+            (lane.req.max_new - len(lane.out_bytes) for lane in lanes.values()),
+            default=1,
+        )
+        if need >= self.chunk:
+            return self.chunk
+        b = 1
+        while b < need:
+            b <<= 1
+        return min(b, self.chunk)
+
     def run(self, requests: list, *, progress=None) -> list[str]:
         """Drain a request queue; returns prompt+completion per request, in
-        submission order.  ``progress(done, total)`` is called per chunk."""
-        pending = deque(
+        submission order.  ``progress(done, total)`` is called per chunk.
+
+        Admission follows ``self.policy`` ("fifo"/"priority"/"sjf"/"edf");
+        per-request math is admission-order-invariant (the rotation +
+        per-lane keys), so policy changes WHEN a request runs, never WHAT
+        it produces — pinned by tests/unit/test_engine.py."""
+        items = [
             (i, r if isinstance(r, Request) else Request(prompt=str(r)))
             for i, r in enumerate(requests)
-        )
+        ]
+        pending = deque(sorted(items, key=self._admission_key))
         results: list = [None] * len(requests)
         bufs, samp, logits, keys, ptr = self._blank_state()
         free = list(range(self.slots))
         lanes: dict[int, _Lane] = {}
         chunks = 0
+        self.completion_order = []
+        self.stats = {"chunks": 0, "decoded_tokens": 0}
 
         while pending or lanes:
             while pending and free:
@@ -178,14 +249,17 @@ class ServingEngine:
                     bufs, samp, logits, keys, ptr, jnp.int32(slot), fb, fl, fs, fk)
                 lanes[slot] = _Lane(index=idx, req=req, prompt_bytes=enc)
 
-            bufs, samp, logits, keys, ptr, out = self._decode_fn(
+            length = self._bucket(lanes)
+            bufs, samp, logits, keys, ptr, out = self._decode_fn(length)(
                 self.dec.params, bufs, samp, logits, keys, ptr)
             out = np.asarray(out)
             chunks += 1
+            self.stats["chunks"] = chunks
+            self.stats["decoded_tokens"] += length * self.slots
 
             for slot in list(lanes):
                 lane = lanes[slot]
-                take = min(self.chunk, lane.req.max_new - len(lane.out_bytes))
+                take = min(length, lane.req.max_new - len(lane.out_bytes))
                 lane.out_bytes.extend(int(b) for b in out[:take, slot])
                 done = len(lane.out_bytes) >= lane.req.max_new
                 if lane.req.stop:
@@ -198,6 +272,7 @@ class ServingEngine:
                     results[lane.index] = bytes(
                         lane.prompt_bytes + lane.out_bytes
                     ).decode("utf-8", errors="replace")
+                    self.completion_order.append(lane.index)
                     del lanes[slot]
                     free.append(slot)
             if progress is not None:

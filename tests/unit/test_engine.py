@@ -99,6 +99,51 @@ class TestServingEngine:
                                 mesh=mesh).run(reqs)
         assert sharded == base
 
+    def test_priority_policy_orders_admission_not_output(self, setup):
+        """With one lane, policy="priority" must serve the high-priority
+        request first (completion_order), while every request's TEXT stays
+        identical to its fifo-served counterpart (admission invariance)."""
+        cfg, params = setup
+        reqs = [Request(prompt=f"req {i}", max_new=8, seed=i, priority=i)
+                for i in range(3)]  # req 2 has the highest priority
+        fifo_eng = ServingEngine(params, cfg, slots=1, decode_chunk=8)
+        fifo = fifo_eng.run([Request(**r.__dict__) for r in reqs])
+        assert fifo_eng.completion_order == [0, 1, 2]
+
+        prio_eng = ServingEngine(params, cfg, slots=1, decode_chunk=8,
+                                 policy="priority")
+        prio = prio_eng.run([Request(**r.__dict__) for r in reqs])
+        assert prio_eng.completion_order == [2, 1, 0]
+        assert prio == fifo  # results submission-indexed, text unchanged
+
+    def test_sjf_and_edf_orderings(self, setup):
+        cfg, params = setup
+        reqs = [Request(prompt="a", max_new=24, seed=1, deadline=3.0),
+                Request(prompt="b", max_new=8, seed=2, deadline=1.0),
+                Request(prompt="c", max_new=16, seed=3)]  # no deadline
+        sjf = ServingEngine(params, cfg, slots=1, decode_chunk=8, policy="sjf")
+        sjf.run([Request(**r.__dict__) for r in reqs])
+        assert sjf.completion_order == [1, 2, 0]  # by max_new
+
+        edf = ServingEngine(params, cfg, slots=1, decode_chunk=8, policy="edf")
+        edf.run([Request(**r.__dict__) for r in reqs])
+        # deadline 1.0 first, then 3.0; deadline-less last
+        assert edf.completion_order == [1, 0, 2]
+
+    def test_tail_chunk_bucketing_saves_device_tokens(self, setup):
+        """A short request under a large decode_chunk must not pay the full
+        chunk: the scan length drops to the smallest power-of-two bucket,
+        and outputs are identical to a small-chunk engine."""
+        cfg, params = setup
+        req = Request(prompt="the cat", max_new=4, seed=5)
+        big = ServingEngine(params, cfg, slots=1, decode_chunk=32)
+        out_big = big.run([Request(**req.__dict__)])
+        assert big.stats["decoded_tokens"] == 4  # one 4-bucket scan, not 32
+
+        small = ServingEngine(params, cfg, slots=1, decode_chunk=4)
+        out_small = small.run([Request(**req.__dict__)])
+        assert out_big == out_small
+
     def test_prefill_matches_decoder_init(self, setup):
         """Admission logits == OverlapSaveBatch.init_state on the same
         padded window (the engine adds no math of its own at prefill)."""
