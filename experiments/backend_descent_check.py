@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--accum-steps", type=int, default=2)
     ap.add_argument("--candidate-backend", default="direct")
     ap.add_argument("--candidate-dtype", default="bfloat16")
+    ap.add_argument("--tail-conv", default="auto",
+                    choices=["auto", "direct", "matmul", "pallas"],
+                    help="tail_conv_backend for the fused candidate "
+                         "(seq>2048 routes; ignored otherwise)")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +68,8 @@ def main() -> None:
         # the whole-block Pallas kernel path (cfg.use_fused_block)
         cand_cfg = TrainConfig(**base, use_fused_block=True,
                                compute_dtype=args.candidate_dtype,
-                               fft_precision="default")
+                               fft_precision="default",
+                               tail_conv_backend=args.tail_conv)
     else:
         cand_cfg = TrainConfig(**base, fft_backend=args.candidate_backend,
                                compute_dtype=args.candidate_dtype,

@@ -104,7 +104,7 @@ def main() -> None:
     ap.add_argument("--cases", default="seq8192,d1024")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--tail-conv", default="auto",
-                    choices=["auto", "direct", "matmul"],
+                    choices=["auto", "direct", "matmul", "pallas"],
                     help="override cfg.tail_conv_backend for the tail route")
     args = ap.parse_args()
 

@@ -140,10 +140,11 @@ def fused_block_apply_tail(
     if causal_taps:
         h_fused = causal_filter_taps(h_fused, n_fft, jnp.int32(n_fft - T))
 
-    if conv_backend not in ("auto", "direct", "matmul"):
+    if conv_backend not in ("auto", "direct", "matmul", "pallas"):
         raise ValueError(
             f"tail_conv_backend={conv_backend!r}: expected 'auto', 'direct' "
-            "(Toeplitz matmul, wins at T<=4096) or 'matmul' (matmul-FFT)")
+            "(Toeplitz matmul), 'matmul' (XLA-op matmul-FFT) or 'pallas' "
+            "(in-kernel four-step FFT conv, one VMEM pass per (b, C-block))")
 
     msizes = {} if mesh is None else dict(mesh.shape)
     sp = msizes.get(sp_axis, 1)
@@ -155,12 +156,47 @@ def fused_block_apply_tail(
             compute_dtype, interpret,
         )
 
+    conv = _tail_conv(xn, h_fused, n_fft, conv_backend, compute_dtype,
+                      interpret)
+
+    p = 0.0 if deterministic else dropout
+    return fused_tail(
+        x, conv, s, bp["ffn"]["ffn_ln"]["scale"], bp["ffn"]["ffn_ln"]["bias"],
+        bp["ffn"]["ffn_in"]["kernel"], bp["ffn"]["ffn_in"]["bias"],
+        bp["ffn"]["ffn_out"]["kernel"], bp["ffn"]["ffn_out"]["bias"],
+        jnp.asarray(seed, jnp.uint32), p, compute_dtype, None, interpret,
+    )
+
+
+def _tail_conv(xn, h_fused, n_fft, conv_backend, compute_dtype, interpret):
+    """The tail route's causal spectral conv of xn [B, T, C] by the fused
+    filter h_fused [F] (complex), dispatched over three backends:
+
+    * "direct": (T, T) Toeplitz matmul (ops/toeplitz.py) — pure MXU FLOPs,
+      wins while O(T^2) is cheap (chip crossover tables below).
+    * "matmul": XLA-op matmul-FFT (ops/matfft.py) — O(T log T) FLOPs but
+      each stage einsum round-trips [B, C, n_fft] panels through HBM.
+    * "pallas": the in-kernel four-step FFT conv
+      (ops/pallas_spectral.fused_spectral_conv) — the same matmul-FFT
+      algebra as "matmul" but ONE VMEM-resident pass per (b, C-block):
+      HBM traffic drops to read-xn + write-conv.  fp32 in-kernel.
+
+    "auto" picks by chip-measured crossover (experiments/profile_longseq,
+    32768 tok/step, whole-step ms — BENCHMARKS.md "Tail-route conv
+    crossover"): T=1024/d1024 direct 34.9 vs pallas 53.7; T=2048/d512
+    pallas 43.8 vs direct 69.7; T=4096/d512 pallas 45.3 vs direct 76.9 vs
+    matmul 95.3; T=8192/d512 matmul 106.2 vs pallas 116.7 (the in-kernel
+    fused BACKWARD stops fitting VMEM at n_fft 16384 and the fallback vjp
+    pays standalone grad_H transforms).
+    """
+    T = xn.shape[1]
     if conv_backend == "auto":
-        # Chip-measured crossover (experiments/profile_longseq, d512x6 at
-        # 32768 tok/step): direct Toeplitz 76.9 ms vs matmul-FFT 95.3 ms at
-        # seq 4096 (1.24x), but 240.9 vs 106.2 ms at seq 8192 — the O(T^2)
-        # term overtakes the FFT's large constants between 4k and 8k.
-        conv_backend = "direct" if T <= 4096 else "matmul"
+        if T <= 1024:
+            conv_backend = "direct"
+        elif T <= 4096:
+            conv_backend = "pallas"
+        else:
+            conv_backend = "matmul"
     # conv precision follows the compute dtype: bf16 training mode runs the
     # conv matmuls at DEFAULT (1-pass bf16) — the configuration the seq-4096
     # descent gate validated; fp32 mode keeps HIGHEST for parity tests
@@ -169,21 +205,20 @@ def fused_block_apply_tail(
     if conv_backend == "direct":
         from spectral_tpu.ops.toeplitz import spectral_conv_direct
 
-        conv = spectral_conv_direct(xn, h_fused, n_fft, precision=prec)
-    else:
-        from spectral_tpu.ops.matfft import spectral_conv_matmul
+        return spectral_conv_direct(xn, h_fused, n_fft, precision=prec)
+    if conv_backend == "pallas":
+        from spectral_tpu.ops.pallas_spectral import fused_spectral_conv
 
-        conv = jnp.swapaxes(
-            spectral_conv_matmul(jnp.swapaxes(xn, 1, 2), h_fused, n_fft,
-                                 precision=prec), 1, 2
+        B, _, C = xn.shape
+        return fused_spectral_conv(
+            xn, h_fused, jnp.ones((B, C), jnp.float32), n_fft,
+            interpret=interpret,
         )
+    from spectral_tpu.ops.matfft import spectral_conv_matmul
 
-    p = 0.0 if deterministic else dropout
-    return fused_tail(
-        x, conv, s, bp["ffn"]["ffn_ln"]["scale"], bp["ffn"]["ffn_ln"]["bias"],
-        bp["ffn"]["ffn_in"]["kernel"], bp["ffn"]["ffn_in"]["bias"],
-        bp["ffn"]["ffn_out"]["kernel"], bp["ffn"]["ffn_out"]["bias"],
-        jnp.asarray(seed, jnp.uint32), p, compute_dtype, None, interpret,
+    return jnp.swapaxes(
+        spectral_conv_matmul(jnp.swapaxes(xn, 1, 2), h_fused, n_fft,
+                             precision=prec), 1, 2
     )
 
 
@@ -224,34 +259,19 @@ def _tail_mesh(x, xn, s, h_fused, bp, mesh, sp_axis, tp_axis, n_fft,
         )
 
         # the Ulysses local conv runs the FULL time axis on each channel
-        # shard: "matmul" = MXU DFT stages, everything else = jnp.fft
-        # ("direct"'s (T, T) Toeplitz operand has no channel-sharded
-        # local form)
-        local_backend = "matmul" if conv_backend == "matmul" else "xla"
+        # shard: "matmul" = MXU DFT stages, "pallas" = the in-kernel
+        # four-step conv, everything else = jnp.fft ("direct"'s (T, T)
+        # Toeplitz operand has no channel-sharded local form)
+        local_backend = (conv_backend if conv_backend in ("matmul", "pallas")
+                         else "xla")
         conv = sequence_sharded_spectral_conv(
             xn, h_fused, mesh, axis=sp_axis, n_fft=n_fft, backend=local_backend
         )
     else:
         # tp-only mesh: conv replicated over tp (communication-free),
         # same backend dispatch as the single-device tail route
-        T = x.shape[1]
-        backend = conv_backend
-        if backend == "auto":
-            backend = "direct" if T <= 4096 else "matmul"
-        prec = (jax.lax.Precision.HIGHEST
-                if jnp.dtype(compute_dtype) == jnp.float32
-                else jax.lax.Precision.DEFAULT)
-        if backend == "direct":
-            from spectral_tpu.ops.toeplitz import spectral_conv_direct
-
-            conv = spectral_conv_direct(xn, h_fused, n_fft, precision=prec)
-        else:
-            from spectral_tpu.ops.matfft import spectral_conv_matmul
-
-            conv = jnp.swapaxes(
-                spectral_conv_matmul(jnp.swapaxes(xn, 1, 2), h_fused, n_fft,
-                                     precision=prec), 1, 2
-            )
+        conv = _tail_conv(xn, h_fused, n_fft, conv_backend, compute_dtype,
+                          interpret)
 
     batch_axis = "dp" if "dp" in mesh.axis_names else None
     act_spec = P(batch_axis, sp_axis if nsp > 1 else None, None)

@@ -50,7 +50,7 @@ class TestDispatch:
         assert pick_chunk(4095, 512, 1024) is None
 
 
-@pytest.fixture(scope="module", params=["direct", "matmul"])
+@pytest.fixture(scope="module", params=["direct", "matmul", "pallas"])
 def block_setup(request):
     backend = request.param
     blk = FixedSpectralBlock(
