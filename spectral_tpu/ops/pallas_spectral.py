@@ -648,7 +648,190 @@ def _fused_bwd_kernel_mxu(
         ghim_ref[:, :, :] += gh_im
 
 
-def _fused_bwd_impl(gs, x, h_rfft, n_fft, c_block, interpret):
+def _fused_bwd_kernel_mxu_slabbed(
+    gs_ref,
+    x_ref,
+    hre_ref,
+    him_ref,
+    f1c_ref,
+    f1s_ref,
+    tw1c_ref,
+    tw1s_ref,
+    f2c_ref,
+    f2s_ref,
+    twAc_ref,
+    twAs_ref,
+    f2oc_ref,
+    f2os_ref,
+    f2ic_ref,
+    f2is_ref,
+    gx_ref,
+    ghre_ref,
+    ghim_ref,
+    *,
+    n_fft: int,
+    seq_len: int,
+    per_channel: bool,
+    slab: int,
+):
+    """k2-slabbed fused backward (same math as ``_fused_bwd_kernel_mxu``;
+    shared-filter panels only).
+
+    The unslabbed backward holds ~10 full (n_fft, c) panels live (two
+    input spectra, the conj-filter product, the inverse pipeline), which
+    stops fitting VMEM at n_fft >= 16384 — the round-3 reason seq-8192
+    training fell back to the XLA matmul-FFT conv.  Slabbing choices:
+
+    * k1 CANNOT be the slab axis: k1 is the LANE dimension of every
+      intermediate, and Mosaic rejects dot_generals over sub-128 lane
+      extents ("infer-vector-layout: unsupported shape cast" — chip-
+      found).  Every op here keeps k1 = n1 = 128 full lanes.
+    * k2 CAN: the stage-2 contraction is independent per k2 output row
+      (slice f2's columns), the filter/grad-H products are elementwise in
+      k2, and the inverse stage-2 contraction over k2 accumulates across
+      slabs into full (t2, c, k1) carries.  Only the twiddled stage-1
+      spectra (2 panels each for gs and x) and the q accumulators stay
+      full — the full stage-2 spectra of the unslabbed kernel are never
+      materialized.
+    * stage 1 skips the zero-pad rows: time rows t = i*n2 + j vanish for
+      i >= ceil(T/n2), so the contraction runs over the first ceil(T/n2)
+      rows of f1 — no (n_fft, c) padded panel is built at all.
+    """
+    f1c, f1s = f1c_ref[:, :], f1s_ref[:, :]
+    tw1c, tw1s = tw1c_ref[:, :, :], tw1s_ref[:, :, :]
+    f2c, f2s = f2c_ref[:, :], f2s_ref[:, :]
+    twAc, twAs = twAc_ref[:, :, :], twAs_ref[:, :, :]
+    n1, n2 = _split_factor(n_fft)
+    inv_n = 1.0 / float(n_fft)
+    c = gs_ref.shape[-1]
+
+    # truncated stage 1: only rows i < r0 of the (n1, n2, c) view are nonzero
+    r0 = -(-seq_len // n2)
+    gs2d = _pad_panel(gs_ref[0], r0 * n2)
+    x2d = _pad_panel(x_ref[0], r0 * n2)
+    g_a = gs2d.reshape(r0, n2, c)
+    x_a = x2d.reshape(r0, n2, c)
+    f1c_t, f1s_t = f1c[:r0, :], f1s[:r0, :]
+
+    gb_re, gb_im = _dg00(g_a, f1c_t), _dg00(g_a, f1s_t)  # (n2, c, k1)
+    gc_re = gb_re * tw1c - gb_im * tw1s
+    gc_im = gb_re * tw1s + gb_im * tw1c
+    xb_re, xb_im = _dg00(x_a, f1c_t), _dg00(x_a, f1s_t)
+    xc_re = xb_re * tw1c - xb_im * tw1s
+    xc_im = xb_re * tw1s + xb_im * tw1c
+
+    b = pl.program_id(1)
+    first = (b == 0) if per_channel else ((b == 0) & (pl.program_id(0) == 0))
+    nslab = n2 // slab
+
+    def body(q_re, q_im):
+        q_re[:, :, :] = jnp.zeros((n2, c, n1), jnp.float32)
+        q_im[:, :, :] = jnp.zeros((n2, c, n1), jnp.float32)
+
+        # one fori_loop iteration per k2-slab (NOT a Python unroll: the
+        # unrolled form at nslab=16 produced a ~200-dot_general Mosaic
+        # program whose compile exceeded 50 minutes — chip-found).  The
+        # stacked slab tables ride as refs indexed on their outer axis;
+        # the filter/grad-H refs use pl.ds sublane windows.
+        def step(j, _):
+            sl = pl.ds(j * slab, slab)
+            f2c_o, f2s_o = f2oc_ref[j], f2os_ref[j]  # (n2, slab)
+            # stage-2 spectra, k2-slab rows only: (slab, c, k1)
+            g_re = _dg00(f2c_o, gc_re) - _dg00(f2s_o, gc_im)
+            g_im = _dg00(f2c_o, gc_im) + _dg00(f2s_o, gc_re)
+            x_re = _dg00(f2c_o, xc_re) - _dg00(f2s_o, xc_im)
+            x_im = _dg00(f2c_o, xc_im) + _dg00(f2s_o, xc_re)
+
+            # grad_H product slab: conj(Ĝ)·X̂ (digit-reversed rows sl)
+            gh_re = g_re * x_re + g_im * x_im
+            gh_im = g_re * x_im - g_im * x_re
+            if not per_channel:
+                gh_re = jnp.sum(gh_re, axis=1, keepdims=True)
+                gh_im = jnp.sum(gh_im, axis=1, keepdims=True)
+
+            @pl.when(first)
+            def _init():
+                ghre_ref[sl, :, :] = gh_re
+                ghim_ref[sl, :, :] = gh_im
+
+            @pl.when(jnp.logical_not(first))
+            def _acc():
+                ghre_ref[sl, :, :] += gh_re
+                ghim_ref[sl, :, :] += gh_im
+
+            # grad_x: conj(H) multiply + the slab's partial inverse stage 2
+            h_re, h_im = hre_ref[sl, :, :], him_ref[sl, :, :]
+            p_re = g_re * h_re + g_im * h_im
+            p_im = g_im * h_re - g_re * h_im
+            f2c_i, f2s_i = f2ic_ref[j], f2is_ref[j]  # (slab, n2)
+            q_re[:, :, :] += _dg00(f2c_i, p_re) + _dg00(f2s_i, p_im)
+            q_im[:, :, :] += _dg00(f2c_i, p_im) - _dg00(f2s_i, p_re)
+            return 0
+
+        jax.lax.fori_loop(0, nslab, step, 0)
+
+        # inverse twiddle + inverse stage 1 (full k1 lanes — proven ops)
+        r_re = q_re[:, :, :] * twAc - q_im[:, :, :] * twAs
+        r_im = q_re[:, :, :] * twAs + q_im[:, :, :] * twAc
+        y_re = _dg12(f1c, r_re) + _dg12(f1s, r_im)  # (n1, t2, c)
+        gx_ref[0] = y_re.reshape(n_fft, c)[:seq_len, :] * inv_n
+
+    pl.run_scoped(
+        body,
+        q_re=pltpu.VMEM((n2, c, n1), jnp.float32),
+        q_im=pltpu.VMEM((n2, c, n1), jnp.float32),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _bwd_slab_tables(n_fft: int, slab: int) -> tuple[np.ndarray, ...]:
+    """Stacked k2-slab views of the stage-2 DFT matrix for the slabbed
+    backward's fori_loop: output slabs f2[:, sl] as (nslab, n2, slab) and
+    contraction slabs f2[sl, :] as (nslab, slab, n2) — dynamic indexing
+    stays on the OUTER axis (lane/sublane dynamic slicing of values is
+    what Mosaic rejects)."""
+    n1, n2 = _split_factor(n_fft)
+    f2c, f2s = _dft_consts(max(n2, 2), -1.0)
+    nslab = n2 // slab
+    f2oc = np.stack([f2c[:, j * slab:(j + 1) * slab] for j in range(nslab)])
+    f2os = np.stack([f2s[:, j * slab:(j + 1) * slab] for j in range(nslab)])
+    f2ic = np.stack([f2c[j * slab:(j + 1) * slab, :] for j in range(nslab)])
+    f2is = np.stack([f2s[j * slab:(j + 1) * slab, :] for j in range(nslab)])
+    return f2oc, f2os, f2ic, f2is
+
+
+def _bwd_vmem_estimate(n_fft: int, cb: int, seq_len: int, slab: int) -> int:
+    """Planning model of the k2-SLABBED backward kernel's VMEM footprint
+    (shared filter)."""
+    row = cb * 4
+    # double-buffered HBM blocks: gs + x in, gx out
+    blocks = 2 * row * 3 * seq_len
+    n1, n2 = _split_factor(n_fft)
+    # 4 twiddled stage-1 spectra + 2 q accumulators + the final y panel
+    # (+ its reshape copy), each (n2, c, n1) = n_fft * row bytes, plus
+    # ~10 slab-sized stage-2/product temporaries
+    temps = row * (8 * n_fft + 10 * slab * n1)
+    return blocks + temps + (2 << 20)
+
+
+def _pick_bwd_slab(n_fft: int, cb: int, seq_len: int, per_channel: bool) -> int | None:
+    """Slab width for the fused backward: 0 = unslabbed fits, None = no fit."""
+    n1, n2 = _split_factor(n_fft)
+    if n2 <= 1:
+        return None  # single-stage shapes keep the unfused rule
+    if 2 * _kernel_vmem_estimate(n_fft, cb, seq_len, per_channel, 0) <= _VMEM_LIMIT:
+        return 0
+    if per_channel:
+        return None  # slabbed kernel carries shared-filter blocks only
+    for s in (64, 32, 16, 8, 4):
+        if n2 % s:
+            continue
+        if _bwd_vmem_estimate(n_fft, cb, seq_len, s) <= _VMEM_LIMIT:
+            return s
+    return None
+
+
+def _fused_bwd_impl(gs, x, h_rfft, n_fft, c_block, interpret, slab: int = 0):
     """pallas_call wrapper for the fused backward.  Returns
     (grad_x [B,T,C], grad_h [F] or [F,C] complex)."""
     B, T, C = x.shape
@@ -677,7 +860,10 @@ def _fused_bwd_impl(gs, x, h_rfft, n_fft, c_block, interpret):
     data_spec = pl.BlockSpec((1, T, cb), lambda c, b: (b, 0, c), memory_space=pltpu.VMEM)
     in_specs = [data_spec, data_spec, h_spec, h_spec]
     operands = [gs.astype(jnp.float32), x.astype(jnp.float32), h_re, h_im]
-    for m in _conv_tables(n_fft):
+    tables = list(_conv_tables(n_fft))
+    if slab:
+        tables += list(_bwd_slab_tables(n_fft, slab))
+    for m in tables:
         in_specs.append(
             pl.BlockSpec(
                 m.shape,
@@ -687,9 +873,15 @@ def _fused_bwd_impl(gs, x, h_rfft, n_fft, c_block, interpret):
         )
         operands.append(jnp.asarray(m))
 
-    kernel = functools.partial(
-        _fused_bwd_kernel_mxu, n_fft=n_fft, seq_len=T, per_channel=per_channel
-    )
+    if slab:
+        kernel = functools.partial(
+            _fused_bwd_kernel_mxu_slabbed, n_fft=n_fft, seq_len=T,
+            per_channel=per_channel, slab=slab,
+        )
+    else:
+        kernel = functools.partial(
+            _fused_bwd_kernel_mxu, n_fft=n_fft, seq_len=T, per_channel=per_channel
+        )
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
@@ -922,17 +1114,18 @@ def _fsc_bwd(n_fft, c_block, interpret, algo, res, g):
     cb = min(c_block, C)
     while C % cb:
         cb //= 2
-    use_fused_bwd = (
-        PALLAS_AVAILABLE
-        and algo == "matmul"
-        and n2 > 1
-        # the bwd kernel holds ~2 forward pipelines live
-        and 2 * _kernel_vmem_estimate(n_fft, cb, T, h_rfft.ndim > 1, 0) <= _VMEM_LIMIT
+    bwd_slab = (
+        _pick_bwd_slab(n_fft, cb, T, h_rfft.ndim > 1)
+        if PALLAS_AVAILABLE and algo == "matmul"
+        else None
     )
-    if use_fused_bwd:
+    if bwd_slab is not None:
         # ONE VMEM pass: grad_x (adjoint conv with conj(H)) + the grad_H
         # product conj(Ĝ)·X̂ — no standalone rffts, no HBM spectra.
-        grad_x, grad_h = _fused_bwd_impl(gs, x, h_rfft, n_fft, c_block, interpret)
+        # slab=0 runs the unslabbed kernel; larger n_fft pipelines per
+        # k1-slab (_fused_bwd_kernel_mxu_slabbed).
+        grad_x, grad_h = _fused_bwd_impl(gs, x, h_rfft, n_fft, c_block,
+                                         interpret, slab=bwd_slab)
         grad_scale = jnp.sum(g * conv, axis=1)
         return grad_x, grad_h, grad_scale
 

@@ -165,6 +165,46 @@ class TestMXUKernel:
         for a, b in zip(g_pal, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
 
+    def test_bwd_slab_planner(self):
+        from spectral_tpu.ops.pallas_spectral import _pick_bwd_slab
+
+        # seq-4096 backbone shape: the unslabbed fused bwd fits (round 3)
+        assert _pick_bwd_slab(8192, 128, 4096, False) == 0
+        # seq-8192 backbone shape: unslabbed overflows, the slab pipeline
+        # takes over (this was the round-3 reason seq-8192 training fell
+        # back to the XLA matmul-FFT conv)
+        s = _pick_bwd_slab(16384, 128, 8192, False)
+        assert s is not None and s > 0
+
+    @pytest.mark.parametrize("per_channel", [False, True])
+    @pytest.mark.parametrize("T", [100, 99])  # 99: partial stage-1 row pad
+    def test_slabbed_fused_bwd_matches_reference(self, monkeypatch, per_channel, T):
+        """Force the k2-slabbed BACKWARD kernel at small shapes and require
+        grad agreement (x, H, scale) with jax.grad of the jnp reference.
+        NF=512 -> (n1, n2) = (128, 4); slab=2 runs two k2-slabs."""
+        from spectral_tpu.ops import pallas_spectral as ps
+
+        monkeypatch.setattr(ps, "_pick_bwd_slab", lambda n_fft, cb, t, pc: 2)
+        rng = np.random.default_rng(11)
+        B, C, NF = 2, 8, 512
+        x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+        shape = (NF // 2 + 1, C) if per_channel else (NF // 2 + 1,)
+        h = jnp.asarray(
+            (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        )
+        s = jnp.asarray(rng.standard_normal((B, C)).astype(np.float32))
+        p = rng.standard_normal((B, T, C)).astype(np.float32)
+        g_pal = jax.grad(
+            lambda *a: jnp.sum(fused_spectral_conv(*a, NF, 128, True, "matmul") * p),
+            argnums=(0, 1, 2),
+        )(x, h, s)
+        g_ref = jax.grad(
+            lambda *a: jnp.sum(fused_spectral_conv_reference(*a, NF) * p),
+            argnums=(0, 1, 2),
+        )(x, h, s)
+        for a, b in zip(g_pal, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
     def test_grads_flow_through_mxu_algo(self):
         import numpy as np
 
