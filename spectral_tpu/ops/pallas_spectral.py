@@ -1,21 +1,24 @@
 """Fused Pallas spectral-conv kernel: rFFT -> complex filter -> irFFT in one
 VMEM-resident pass.
 
-STATUS (round 3): RETIRED as a training route.  This was the round-1
-north-star kernel; the round-2 fused whole-block kernel
-(ops/pallas_block.py, 27.4 vs 45.1 ms/step at the flagship recipe,
-BENCH_r02.json) and the round-3 positionwise tail route
-(ops/pallas_tail.py, any seq) superseded it for training.  It is KEPT for
-exactly three jobs and nothing else:
-  1. the sequence-parallel LOCAL backend (parallel/distributed_fft.py
+STATUS (round 3, revised): PROMOTED BACK into the training default.  The
+round-2 whole-block kernel (ops/pallas_block.py) superseded this kernel at
+seq <= 2048-where-it-fits, and for a while it survived only as the sp
+local backend + vjp canary — but the round-3 tail route (ops/pallas_tail.py)
+made it the CONV of the long-sequence default: `tail_conv_backend="pallas"`
+(models/fused_apply._tail_conv) dispatches here for 2048 < T <= 4096,
+measured 1.70x the direct-Toeplitz tail at seq 4096 (45.25 ms/step, 724K
+tok/s — BENCHMARKS.md "Tail-route conv crossover").  Its jobs now:
+  1. the tail route's conv backend at 2048 < T <= 4096 (fwd kernel + the
+     fused/unslabbed or k2-slabbed backward below);
+  2. the sequence-parallel LOCAL backend (parallel/distributed_fft.py
      dispatches backend="pallas" for the per-shard full-length conv);
-  2. the driver-tracked custom-vjp canary (bench.py --backend pallas /
+  3. the driver-tracked custom-vjp canary (bench.py --backend pallas /
      the `pallas_*` fields of the train-step metric line);
-  3. the in-kernel Stockham/four-step FFT reference implementation — the
-     negative-result ladder documenting why in-kernel FFT lost to the
-     Toeplitz matmul (BENCHMARKS.md round 2).
-Do not extend its training path; new fused work belongs in
-pallas_block.py / pallas_tail.py.
+  4. the in-kernel Stockham/four-step FFT reference implementation.
+The SHORT-sequence negative result stands: at seq 1024 the whole-block
+kernel's Toeplitz conv wins (BENCHMARKS.md round 2) — the crossover lives
+in fused_apply._tail_conv, not here.
 
 This is the BASELINE.json north-star kernel of round 1: the hot path of
 every spectral block (reference: the cuFFT round-trips in
