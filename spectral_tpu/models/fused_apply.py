@@ -182,18 +182,20 @@ def _tail_conv(xn, h_fused, n_fft, conv_backend, compute_dtype, interpret):
       HBM traffic drops to read-xn + write-conv.  fp32 in-kernel.
 
     "auto" picks by chip-measured crossover (experiments/profile_longseq,
-    32768 tok/step, whole-step ms — BENCHMARKS.md "Tail-route conv
-    crossover"): T=1024/d1024 direct 34.9 vs pallas 53.7; T=2048/d512
-    pallas 43.8 vs direct 69.7; T=4096/d512 pallas 45.3 vs direct 76.9 vs
-    matmul 95.3; T=8192/d512 matmul 106.2 vs pallas 116.7 (the in-kernel
-    fused BACKWARD stops fitting VMEM at n_fft 16384 and the fallback vjp
-    pays standalone grad_H transforms).
+    32768 tok/step, whole-step ms, bf16 compute mode — BENCHMARKS.md
+    "Tail-route conv crossover"): T=1024/d1024 direct 34.9 vs pallas 53.7;
+    T=2048/d512 pallas 39.99 vs direct 69.7; T=4096/d512 pallas 41.09 vs
+    direct 76.9 vs matmul 95.3; T=8192/d512 pallas 90.27 vs matmul 106.2
+    (bf16 in-kernel dots flipped 8192 to pallas — the fp32 multi-pass
+    kernel lost it, 116.7).  Beyond 8192 "matmul" stays the default: the
+    n_fft 32768 slabbed backward is unmeasured (multi-10-min Mosaic
+    compiles) and the seq-16384+ recipes are memory- not conv-bound.
     """
     T = xn.shape[1]
     if conv_backend == "auto":
         if T <= 1024:
             conv_backend = "direct"
-        elif T <= 4096:
+        elif T <= 8192:
             conv_backend = "pallas"
         else:
             conv_backend = "matmul"
@@ -210,9 +212,12 @@ def _tail_conv(xn, h_fused, n_fft, conv_backend, compute_dtype, interpret):
         from spectral_tpu.ops.pallas_spectral import fused_spectral_conv
 
         B, _, C = xn.shape
+        # compute_dtype follows the training mode like the other backends:
+        # bf16 runs the in-kernel dots single-pass (Mosaic fp32 dots are the
+        # accurate multi-pass scheme, ~1/3 rate — NOT XLA DEFAULT rounding)
         return fused_spectral_conv(
             xn, h_fused, jnp.ones((B, C), jnp.float32), n_fft,
-            interpret=interpret,
+            interpret=interpret, compute_dtype=compute_dtype,
         )
     from spectral_tpu.ops.matfft import spectral_conv_matmul
 

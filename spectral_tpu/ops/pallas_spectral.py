@@ -235,7 +235,28 @@ _dg12 = functools.partial(  # contract lhs axis1 with rhs axis2 (both minor)
 )
 
 
-def _fused_conv_mxu_panel(x, h_re, h_im, tables, n_fft):
+def _dots_for(cdt):
+    """(dg00, dg12) casting matmul OPERANDS to ``cdt`` (accumulation stays
+    fp32 via preferred_element_type).  cdt=None keeps fp32 operands.
+
+    WHY: Mosaic fp32 dots run the accurate multi-pass scheme (~1/3 the
+    bf16 MXU rate — they do NOT replicate XLA DEFAULT's operand rounding,
+    chip parity finding).  The conv profile at seq 4096 showed the fused
+    conv fwd+bwd is fp32-MXU-bound (2.38 ms of the 45 ms step x12); bf16
+    operands are the same numerics class as the XLA DEFAULT-precision
+    convs the descent gates already validated.  Elementwise twiddle and
+    filter products stay fp32 on the VPU either way.
+    """
+    if cdt is None or jnp.dtype(cdt) == jnp.float32:
+        return _dg00, _dg12
+    dt = jnp.dtype(cdt)
+    return (
+        lambda a, b: _dg00(a.astype(dt), b.astype(dt)),
+        lambda a, b: _dg12(a.astype(dt), b.astype(dt)),
+    )
+
+
+def _fused_conv_mxu_panel(x, h_re, h_im, tables, n_fft, cdt=None):
     """Transpose-free four-step conv on one (n_fft, c) REAL panel.
 
     Intermediates ride in (stage, c, k1) order — k1 on the lane axis — so
@@ -248,35 +269,36 @@ def _fused_conv_mxu_panel(x, h_re, h_im, tables, n_fft):
     f1c, f1s, tw1c, tw1s, f2c, f2s, twAc, twAs = tables
     n1, n2 = _split_factor(n_fft)
     c = x.shape[-1]
+    dg0, dg12 = _dots_for(cdt)
 
     if n2 == 1:  # single-stage DFT: everything stays 2-D
-        b_re = _dg00(f1c, x)
-        b_im = _dg00(f1s, x)
+        b_re = dg0(f1c, x)
+        b_im = dg0(f1s, x)
         hr2, hi2 = h_re[0], h_im[0]
         p_re = b_re * hr2 - b_im * hi2
         p_im = b_re * hi2 + b_im * hr2
-        return _dg00(f1c, p_re) + _dg00(f1s, p_im)
+        return dg0(f1c, p_re) + dg0(f1s, p_im)
 
     # ---- forward: A (n1, n2, c) -> D (k2, c, k1), digit-reversed ----
     a = x.reshape(n1, n2, c)
-    b_re = _dg00(a, f1c)  # (n2, c, k1); real input: half the matmuls
-    b_im = _dg00(a, f1s)
+    b_re = dg0(a, f1c)  # (n2, c, k1); real input: half the matmuls
+    b_im = dg0(a, f1s)
     c_re = b_re * tw1c - b_im * tw1s  # tw (n2, 1, k1)
     c_im = b_re * tw1s + b_im * tw1c
-    d_re = _dg00(f2c, c_re) - _dg00(f2s, c_im)  # (k2, c, k1)
-    d_im = _dg00(f2c, c_im) + _dg00(f2s, c_re)
+    d_re = dg0(f2c, c_re) - dg0(f2s, c_im)  # (k2, c, k1)
+    d_im = dg0(f2c, c_im) + dg0(f2s, c_re)
 
     # ---- filter in (k2, c, k1) order ----
     p_re = d_re * h_re - d_im * h_im
     p_im = d_re * h_im + d_im * h_re
 
     # ---- inverse (sign-flipped tables), consuming (k2, c, k1) ----
-    q_re = _dg00(f2c, p_re) + _dg00(f2s, p_im)  # G2 = (f2c, -f2s): (t2, c, k1)
-    q_im = _dg00(f2c, p_im) - _dg00(f2s, p_re)
+    q_re = dg0(f2c, p_re) + dg0(f2s, p_im)  # G2 = (f2c, -f2s): (t2, c, k1)
+    q_im = dg0(f2c, p_im) - dg0(f2s, p_re)
     r_re = q_re * twAc - q_im * twAs  # twA (t2, 1, k1)
     r_im = q_re * twAs + q_im * twAc
     # G1 = (f1c, -f1s), contract k1 (minor of both): output (t1, t2, c)
-    y_re = _dg12(f1c, r_re) + _dg12(f1s, r_im)
+    y_re = dg12(f1c, r_re) + dg12(f1s, r_im)
     return y_re.reshape(n1 * n2, c)
 
 
@@ -307,12 +329,14 @@ def _fused_kernel_mxu(
     n_fft: int,
     seq_len: int,
     slab: int = 0,
+    cdt=None,
 ):
     """One (n_fft, C_BLOCK) panel, transpose-free MXU four-step conv.
 
     ``slab`` > 0 switches to the k1-slabbed pipeline (see
     :func:`_fused_conv_mxu_slabbed`) for n_fft where the unslabbed live set
-    exceeds VMEM (the VERDICT round-1 "n_fft >= 4096 cliff").
+    exceeds VMEM (the VERDICT round-1 "n_fft >= 4096 cliff").  ``cdt``
+    casts the matmul operands (see :func:`_dots_for`).
     """
     tables = (
         f1c_ref[:, :],
@@ -327,15 +351,17 @@ def _fused_kernel_mxu(
     x2d = _pad_panel(x_ref[0], n_fft)
     if slab:
         _fused_conv_mxu_slabbed(
-            x2d, hre_ref, him_ref, tables, n_fft, slab, out_ref, scale_ref, seq_len
+            x2d, hre_ref, him_ref, tables, n_fft, slab, out_ref, scale_ref,
+            seq_len, cdt,
         )
     else:
-        y = _fused_conv_mxu_panel(x2d, hre_ref[:, :, :], him_ref[:, :, :], tables, n_fft)
+        y = _fused_conv_mxu_panel(x2d, hre_ref[:, :, :], him_ref[:, :, :], tables, n_fft, cdt)
         out_ref[0] = y[:seq_len, :] * (scale_ref[0] / float(n_fft))
 
 
 def _fused_conv_mxu_slabbed(
-    x2d, hre_ref, him_ref, tables, n_fft: int, slab: int, out_ref, scale_ref, seq_len: int
+    x2d, hre_ref, him_ref, tables, n_fft: int, slab: int, out_ref, scale_ref,
+    seq_len: int, cdt=None,
 ):
     """k1-slabbed transpose-free four-step conv on one (n_fft, c) panel.
 
@@ -355,34 +381,35 @@ def _fused_conv_mxu_slabbed(
 
     a = x2d.reshape(n1, n2, c)
     inv_n = 1.0 / float(n_fft)
+    dg0, dg12 = _dots_for(cdt)
     for j in range(n1 // slab):
         sl = slice(j * slab, (j + 1) * slab)
         f1c_s = f1c[:, sl]  # (n1, slab) — f1 is symmetric: cols S == rows S
         f1s_s = f1s[:, sl]
         # forward stage 1, slab k1 columns only: (n2, c, slab)
-        b_re = _dg00(a, f1c_s)
-        b_im = _dg00(a, f1s_s)
+        b_re = dg0(a, f1c_s)
+        b_im = dg0(a, f1s_s)
         twc = tw1c[:, :, sl]  # (n2, 1, slab)
         tws = tw1s[:, :, sl]
         c_re = b_re * twc - b_im * tws
         c_im = b_re * tws + b_im * twc
         # forward stage 2: (k2, c, slab)
-        d_re = _dg00(f2c, c_re) - _dg00(f2s, c_im)
-        d_im = _dg00(f2c, c_im) + _dg00(f2s, c_re)
+        d_re = dg0(f2c, c_re) - dg0(f2s, c_im)
+        d_im = dg0(f2c, c_im) + dg0(f2s, c_re)
         # filter in digit-reversed (k2, c, k1) order, slab-sliced on k1
         h_re = hre_ref[:, :, sl]
         h_im = him_ref[:, :, sl]
         p_re = d_re * h_re - d_im * h_im
         p_im = d_re * h_im + d_im * h_re
         # inverse stage 2 (sign-flipped): (t2, c, slab)
-        q_re = _dg00(f2c, p_re) + _dg00(f2s, p_im)
-        q_im = _dg00(f2c, p_im) - _dg00(f2s, p_re)
+        q_re = dg0(f2c, p_re) + dg0(f2s, p_im)
+        q_im = dg0(f2c, p_im) - dg0(f2s, p_re)
         tAc = twAc[:, :, sl]
         tAs = twAs[:, :, sl]
         r_re = q_re * tAc - q_im * tAs
         r_im = q_re * tAs + q_im * tAc
         # inverse stage 1: contract the slab's k1 -> full (t1, t2, c) partial
-        y_re = _dg12(f1c_s, r_re) + _dg12(f1s_s, r_im)
+        y_re = dg12(f1c_s, r_re) + dg12(f1s_s, r_im)
         part = y_re.reshape(n_fft, c)[:seq_len, :]
         if j == 0:
             out_ref[0] = part
@@ -546,32 +573,34 @@ def _fused_kernel_batched(x_ref, hre_ref, him_ref, scale_ref, out_ref, *, n_fft:
 # ---------------------------------------------------------------------------
 
 
-def _panel_fwd_stages(x2d, tables, n_fft):
+def _panel_fwd_stages(x2d, tables, n_fft, cdt=None):
     """Forward four-step stages of one real (n_fft, c) panel -> digit-
     reversed (k2, c, k1) spectrum (re, im).  Shared by the bwd kernel."""
     f1c, f1s, tw1c, tw1s, f2c, f2s, _, _ = tables
     n1, n2 = _split_factor(n_fft)
+    dg0, _ = _dots_for(cdt)
     a = x2d.reshape(n1, n2, x2d.shape[-1])
-    b_re = _dg00(a, f1c)
-    b_im = _dg00(a, f1s)
+    b_re = dg0(a, f1c)
+    b_im = dg0(a, f1s)
     c_re = b_re * tw1c - b_im * tw1s
     c_im = b_re * tw1s + b_im * tw1c
-    d_re = _dg00(f2c, c_re) - _dg00(f2s, c_im)
-    d_im = _dg00(f2c, c_im) + _dg00(f2s, c_re)
+    d_re = dg0(f2c, c_re) - dg0(f2s, c_im)
+    d_im = dg0(f2c, c_im) + dg0(f2s, c_re)
     return d_re, d_im
 
 
-def _panel_inv_stages(p_re, p_im, tables, n_fft):
+def _panel_inv_stages(p_re, p_im, tables, n_fft, cdt=None):
     """Inverse four-step stages: digit-reversed (k2, c, k1) -> real
     (n_fft, c) time panel (NOT yet /n).  Shared by the bwd kernel."""
     f1c, f1s, _, _, f2c, f2s, twAc, twAs = tables
     n1, n2 = _split_factor(n_fft)
     c = p_re.shape[1]
-    q_re = _dg00(f2c, p_re) + _dg00(f2s, p_im)
-    q_im = _dg00(f2c, p_im) - _dg00(f2s, p_re)
+    dg0, dg12 = _dots_for(cdt)
+    q_re = dg0(f2c, p_re) + dg0(f2s, p_im)
+    q_im = dg0(f2c, p_im) - dg0(f2s, p_re)
     r_re = q_re * twAc - q_im * twAs
     r_im = q_re * twAs + q_im * twAc
-    y_re = _dg12(f1c, r_re) + _dg12(f1s, r_im)
+    y_re = dg12(f1c, r_re) + dg12(f1s, r_im)
     return y_re.reshape(n_fft, c)
 
 
@@ -595,6 +624,7 @@ def _fused_bwd_kernel_mxu(
     n_fft: int,
     seq_len: int,
     per_channel: bool,
+    cdt=None,
 ):
     """Fused backward: per (c-block, b) cell compute BOTH
     grad_x = irfft(rfft(pad(gs)) * conj(H))[:T]  and the filter-cotangent
@@ -618,15 +648,15 @@ def _fused_bwd_kernel_mxu(
     gs2d = _pad_panel(gs_ref[0], n_fft)
     x2d = _pad_panel(x_ref[0], n_fft)
 
-    g_re, g_im = _panel_fwd_stages(gs2d, tables, n_fft)  # (k2, c, k1)
-    x_re, x_im = _panel_fwd_stages(x2d, tables, n_fft)
+    g_re, g_im = _panel_fwd_stages(gs2d, tables, n_fft, cdt)  # (k2, c, k1)
+    x_re, x_im = _panel_fwd_stages(x2d, tables, n_fft, cdt)
 
     # grad_x: multiply by conj(H) and invert
     h_re = hre_ref[:, :, :]
     h_im = him_ref[:, :, :]
     p_re = g_re * h_re + g_im * h_im
     p_im = g_im * h_re - g_re * h_im
-    gx = _panel_inv_stages(p_re, p_im, tables, n_fft)
+    gx = _panel_inv_stages(p_re, p_im, tables, n_fft, cdt)
     gx_ref[0] = gx[:seq_len, :] * (1.0 / float(n_fft))
 
     # grad_H product: conj(Ĝ)·X̂, accumulated over the batch grid axis
@@ -676,6 +706,7 @@ def _fused_bwd_kernel_mxu_slabbed(
     seq_len: int,
     per_channel: bool,
     slab: int,
+    cdt=None,
 ):
     """k2-slabbed fused backward (same math as ``_fused_bwd_kernel_mxu``;
     shared-filter panels only).
@@ -716,10 +747,11 @@ def _fused_bwd_kernel_mxu_slabbed(
     x_a = x2d.reshape(r0, n2, c)
     f1c_t, f1s_t = f1c[:r0, :], f1s[:r0, :]
 
-    gb_re, gb_im = _dg00(g_a, f1c_t), _dg00(g_a, f1s_t)  # (n2, c, k1)
+    dg0, dg12 = _dots_for(cdt)
+    gb_re, gb_im = dg0(g_a, f1c_t), dg0(g_a, f1s_t)  # (n2, c, k1)
     gc_re = gb_re * tw1c - gb_im * tw1s
     gc_im = gb_re * tw1s + gb_im * tw1c
-    xb_re, xb_im = _dg00(x_a, f1c_t), _dg00(x_a, f1s_t)
+    xb_re, xb_im = dg0(x_a, f1c_t), dg0(x_a, f1s_t)
     xc_re = xb_re * tw1c - xb_im * tw1s
     xc_im = xb_re * tw1s + xb_im * tw1c
 
@@ -740,10 +772,10 @@ def _fused_bwd_kernel_mxu_slabbed(
             sl = pl.ds(j * slab, slab)
             f2c_o, f2s_o = f2oc_ref[j], f2os_ref[j]  # (n2, slab)
             # stage-2 spectra, k2-slab rows only: (slab, c, k1)
-            g_re = _dg00(f2c_o, gc_re) - _dg00(f2s_o, gc_im)
-            g_im = _dg00(f2c_o, gc_im) + _dg00(f2s_o, gc_re)
-            x_re = _dg00(f2c_o, xc_re) - _dg00(f2s_o, xc_im)
-            x_im = _dg00(f2c_o, xc_im) + _dg00(f2s_o, xc_re)
+            g_re = dg0(f2c_o, gc_re) - dg0(f2s_o, gc_im)
+            g_im = dg0(f2c_o, gc_im) + dg0(f2s_o, gc_re)
+            x_re = dg0(f2c_o, xc_re) - dg0(f2s_o, xc_im)
+            x_im = dg0(f2c_o, xc_im) + dg0(f2s_o, xc_re)
 
             # grad_H product slab: conj(Ĝ)·X̂ (digit-reversed rows sl)
             gh_re = g_re * x_re + g_im * x_im
@@ -767,8 +799,8 @@ def _fused_bwd_kernel_mxu_slabbed(
             p_re = g_re * h_re + g_im * h_im
             p_im = g_im * h_re - g_re * h_im
             f2c_i, f2s_i = f2ic_ref[j], f2is_ref[j]  # (slab, n2)
-            q_re[:, :, :] += _dg00(f2c_i, p_re) + _dg00(f2s_i, p_im)
-            q_im[:, :, :] += _dg00(f2c_i, p_im) - _dg00(f2s_i, p_re)
+            q_re[:, :, :] += dg0(f2c_i, p_re) + dg0(f2s_i, p_im)
+            q_im[:, :, :] += dg0(f2c_i, p_im) - dg0(f2s_i, p_re)
             return 0
 
         jax.lax.fori_loop(0, nslab, step, 0)
@@ -776,7 +808,7 @@ def _fused_bwd_kernel_mxu_slabbed(
         # inverse twiddle + inverse stage 1 (full k1 lanes — proven ops)
         r_re = q_re[:, :, :] * twAc - q_im[:, :, :] * twAs
         r_im = q_re[:, :, :] * twAs + q_im[:, :, :] * twAc
-        y_re = _dg12(f1c, r_re) + _dg12(f1s, r_im)  # (n1, t2, c)
+        y_re = dg12(f1c, r_re) + dg12(f1s, r_im)  # (n1, t2, c)
         gx_ref[0] = y_re.reshape(n_fft, c)[:seq_len, :] * inv_n
 
     pl.run_scoped(
@@ -834,7 +866,8 @@ def _pick_bwd_slab(n_fft: int, cb: int, seq_len: int, per_channel: bool) -> int 
     return None
 
 
-def _fused_bwd_impl(gs, x, h_rfft, n_fft, c_block, interpret, slab: int = 0):
+def _fused_bwd_impl(gs, x, h_rfft, n_fft, c_block, interpret, slab: int = 0,
+                    compute_dtype="float32"):
     """pallas_call wrapper for the fused backward.  Returns
     (grad_x [B,T,C], grad_h [F] or [F,C] complex)."""
     B, T, C = x.shape
@@ -876,14 +909,16 @@ def _fused_bwd_impl(gs, x, h_rfft, n_fft, c_block, interpret, slab: int = 0):
         )
         operands.append(jnp.asarray(m))
 
+    cdt = None if jnp.dtype(compute_dtype) == jnp.float32 else jnp.dtype(compute_dtype)
     if slab:
         kernel = functools.partial(
             _fused_bwd_kernel_mxu_slabbed, n_fft=n_fft, seq_len=T,
-            per_channel=per_channel, slab=slab,
+            per_channel=per_channel, slab=slab, cdt=cdt,
         )
     else:
         kernel = functools.partial(
-            _fused_bwd_kernel_mxu, n_fft=n_fft, seq_len=T, per_channel=per_channel
+            _fused_bwd_kernel_mxu, n_fft=n_fft, seq_len=T,
+            per_channel=per_channel, cdt=cdt,
         )
     kwargs = {}
     if not interpret:
@@ -943,7 +978,7 @@ def fused_spectral_conv_reference(x: jax.Array, h_rfft: jax.Array, scale: jax.Ar
     return y * scale[:, None, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def fused_spectral_conv(
     x: jax.Array,
     h_rfft: jax.Array,
@@ -952,6 +987,7 @@ def fused_spectral_conv(
     c_block: int = 128,
     interpret: bool = False,
     algo: str = "matmul",
+    compute_dtype: str = "float32",
 ) -> jax.Array:
     """Fused causal spectral conv (Pallas): one VMEM pass per (b, C-block).
 
@@ -964,8 +1000,13 @@ def fused_spectral_conv(
         n_fft: static pow2 FFT length (>= T + K - 1).
         c_block: channel tile (multiple of 128 for fp32 lanes).
         interpret: run the kernel in interpreter mode (CPU testing).
+        compute_dtype: dtype of the in-kernel matmul OPERANDS ("float32"
+            default; "bfloat16" runs single-pass MXU dots with fp32
+            accumulation — the XLA DEFAULT-precision numerics class, ~2e-3
+            relative on the transform, descent-gate before defaulting).
     """
-    return _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo)
+    return _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo,
+                         compute_dtype)
 
 
 #: Scoped-VMEM limit requested from Mosaic.  The default scoped limit is
@@ -1007,7 +1048,8 @@ def _pick_slab(n_fft: int, cb: int, seq_len: int, per_channel: bool) -> int:
     return 4  # smallest slab; may still exceed budget at extreme shapes
 
 
-def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo="matmul"):
+def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo="matmul",
+                  compute_dtype="float32"):
     B, T, C = x.shape
     if not PALLAS_AVAILABLE:
         return fused_spectral_conv_reference(x, h_rfft, scale, n_fft)
@@ -1024,9 +1066,10 @@ def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo="matmul"):
     while cb > 128 and 8 * n_fft * cb * 4 > 12 * 2**20:
         cb //= 2
     slab = _pick_slab(n_fft, cb, T, per_channel) if algo == "matmul" else 0
+    cdt = None if jnp.dtype(compute_dtype) == jnp.float32 else jnp.dtype(compute_dtype)
     kernel_fn = _fused_kernel_mxu if algo == "matmul" else _fused_kernel_batched
     kernel = (
-        functools.partial(kernel_fn, n_fft=n_fft, seq_len=T, slab=slab)
+        functools.partial(kernel_fn, n_fft=n_fft, seq_len=T, slab=slab, cdt=cdt)
         if algo == "matmul"
         else functools.partial(kernel_fn, n_fft=n_fft, seq_len=T)
     )
@@ -1099,16 +1142,17 @@ def _forward_impl(x, h_rfft, scale, n_fft, c_block, interpret, algo="matmul"):
     )(*operands)
 
 
-def _fsc_fwd(x, h_rfft, scale, n_fft, c_block, interpret, algo):
+def _fsc_fwd(x, h_rfft, scale, n_fft, c_block, interpret, algo, compute_dtype):
     # run the kernel with unit scale and apply scale outside (XLA fuses the
     # elementwise multiply) so the unscaled conv can ride in the residuals —
     # grad_scale then needs NO extra kernel run in the backward pass
-    conv = _forward_impl(x, h_rfft, jnp.ones_like(scale), n_fft, c_block, interpret, algo)
+    conv = _forward_impl(x, h_rfft, jnp.ones_like(scale), n_fft, c_block,
+                         interpret, algo, compute_dtype)
     y = conv * scale[:, None, :]
     return y, (x, h_rfft, scale, conv)
 
 
-def _fsc_bwd(n_fft, c_block, interpret, algo, res, g):
+def _fsc_bwd(n_fft, c_block, interpret, algo, compute_dtype, res, g):
     x, h_rfft, scale, conv = res
     B, T, C = x.shape
     gs = g * scale[:, None, :]
@@ -1128,13 +1172,15 @@ def _fsc_bwd(n_fft, c_block, interpret, algo, res, g):
         # slab=0 runs the unslabbed kernel; larger n_fft pipelines per
         # k1-slab (_fused_bwd_kernel_mxu_slabbed).
         grad_x, grad_h = _fused_bwd_impl(gs, x, h_rfft, n_fft, c_block,
-                                         interpret, slab=bwd_slab)
+                                         interpret, slab=bwd_slab,
+                                         compute_dtype=compute_dtype)
         grad_scale = jnp.sum(g * conv, axis=1)
         return grad_x, grad_h, grad_scale
 
     # fallback (slabbed sizes / stockham algo): adjoint conv through the
     # forward kernel + grad_H via two MXU rfft reductions.
-    grad_x = _forward_impl(gs, jnp.conj(h_rfft), jnp.ones_like(scale), n_fft, c_block, interpret, algo)
+    grad_x = _forward_impl(gs, jnp.conj(h_rfft), jnp.ones_like(scale), n_fft,
+                           c_block, interpret, algo, compute_dtype)
     # grad wrt H (JAX convention, verified against jax.vjp of the reference):
     #   grad_H[f] = w[f] * sum conj(rfft(pad(g*scale)))[f] * rfft(pad(x))[f]
     # with w = [1, 2, ..., 2, 1]/n (the irfft middle-bin doubling).  Both

@@ -205,6 +205,38 @@ class TestMXUKernel:
         for a, b in zip(g_pal, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
 
+    def test_bf16_compute_mode_close_to_fp32(self):
+        """compute_dtype='bfloat16' (single-pass MXU dots, fp32 accum) stays
+        within the XLA DEFAULT-precision class (~2e-3 relative on the
+        transform) of the fp32 kernel, values AND grads."""
+        rng = np.random.default_rng(13)
+        B, T, C, NF = 2, 100, 8, 256
+        x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+        h = jnp.asarray(
+            (rng.standard_normal(129) + 1j * rng.standard_normal(129)).astype(np.complex64)
+        )
+        s = jnp.asarray(rng.standard_normal((B, C)).astype(np.float32))
+        p = rng.standard_normal((B, T, C)).astype(np.float32)
+
+        y32 = fused_spectral_conv(x, h, s, NF, 128, True, "matmul")
+        y16 = fused_spectral_conv(x, h, s, NF, 128, True, "matmul", "bfloat16")
+        rel = float(jnp.max(jnp.abs(y16 - y32)) / (jnp.max(jnp.abs(y32)) + 1e-9))
+        assert rel < 2e-2, rel
+
+        g32 = jax.grad(
+            lambda *a: jnp.sum(fused_spectral_conv(*a, NF, 128, True, "matmul") * p),
+            argnums=(0, 1, 2),
+        )(x, h, s)
+        g16 = jax.grad(
+            lambda *a: jnp.sum(
+                fused_spectral_conv(*a, NF, 128, True, "matmul", "bfloat16") * p
+            ),
+            argnums=(0, 1, 2),
+        )(x, h, s)
+        for a, b in zip(g16, g32):
+            rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+            assert rel < 2e-2, rel
+
     def test_grads_flow_through_mxu_algo(self):
         import numpy as np
 
