@@ -32,11 +32,25 @@ Request.deadline first).  Because per-request math is admission-invariant,
 policies change latency ordering only, never outputs.  The decode scan
 length adapts to the longest remaining lane (power-of-two buckets), so a
 queue tail of short requests stops paying full-chunk device time.
+
+Two driving shapes share one core:
+
+* **batch**: ``run(requests)`` drains a static queue and returns
+  completions in submission order (the CLI / benchmark shape);
+* **continuous**: ``submit(request)`` at ANY time — including while
+  earlier requests are mid-decode — then ``step()`` repeatedly; each
+  step admits whatever fits, advances every active lane one bucketed
+  chunk, and returns the requests that finished.  Arrivals between
+  steps model a live server; admission-invariance guarantees the text
+  each request gets is byte-identical to what a batch run would give.
+
+Per-request ``metrics`` record submit/admit/done in units of the chunk
+counter (the device-work clock), so scheduling policies are comparable
+by mean turnaround on CPU, without chip timing.
 """
 
 from __future__ import annotations
 
-from collections import deque
 from dataclasses import dataclass, field
 
 import jax
@@ -107,6 +121,15 @@ class ServingEngine:
             self.dec.taps_list = jax.device_put(self.dec.taps_list, self._param_sharding)
         self._admit_fn = jax.jit(self._admit_impl, donate_argnums=(0, 1, 2, 3))
         self._decode_fns: dict[int, object] = {}  # scan length -> jitted fn
+        # continuous-admission state (created lazily by start()/submit())
+        self._started = False
+        self._next_id = 0
+        self._pending: list[tuple[int, Request]] = []
+        self._state = None  # (bufs, samp, logits, keys, ptr)
+        self._lanes: dict[int, _Lane] = {}
+        self._free: list[int] = []
+        self.results: dict[int, str] = {}  # request id -> completed text
+        self.metrics: dict[int, dict] = {}  # id -> submit/admit/done chunks
 
     # -- device programs ----------------------------------------------------
 
@@ -219,63 +242,126 @@ class ServingEngine:
             b <<= 1
         return min(b, self.chunk)
 
+    def start(self) -> None:
+        """(Re)initialize lane state for a fresh serving session.  Called
+        implicitly by the first ``submit``/``step``; call explicitly to
+        reset a used engine."""
+        self._state = self._blank_state()
+        self._free = list(range(self.slots))
+        self._lanes = {}
+        self._pending = []
+        self._next_id = 0
+        self.results = {}
+        self.metrics = {}
+        self.completion_order = []
+        self.stats = {"chunks": 0, "decoded_tokens": 0}
+        self._started = True
+
+    @property
+    def idle(self) -> bool:
+        """True when no request is pending or mid-decode."""
+        return not self._pending and not self._lanes
+
+    def submit(self, req) -> int:
+        """Enqueue a request — legal at ANY time, including mid-decode
+        between ``step`` calls.  Returns the request id used as the key in
+        ``results``/``metrics``.  Ids count up in submission order."""
+        if not self._started:
+            self.start()
+        rid = self._next_id
+        self._next_id += 1
+        if not isinstance(req, Request):
+            req = Request(prompt=str(req))
+        self._pending.append((rid, req))
+        self.metrics[rid] = {"submit_chunk": self.stats["chunks"]}
+        return rid
+
+    def _admit_all(self) -> None:
+        """Fill free lanes from the pending queue in policy order.  The
+        sort is stable and re-applied per admission round, so requests
+        submitted after earlier rounds join the ordering seamlessly."""
+        if not (self._pending and self._free):
+            return
+        self._pending.sort(key=self._admission_key)
+        bufs, samp, logits, keys, ptr = self._state
+        while self._pending and self._free:
+            slot = self._free.pop()
+            rid, req = self._pending.pop(0)
+            enc, fb, fl, fs, fk = self._prefill(req)
+            bufs, samp, logits, keys = self._admit_fn(
+                bufs, samp, logits, keys, ptr, jnp.int32(slot), fb, fl, fs, fk)
+            self._lanes[slot] = _Lane(index=rid, req=req, prompt_bytes=enc)
+            self.metrics[rid]["admit_chunk"] = self.stats["chunks"]
+        self._state = (bufs, samp, logits, keys, ptr)
+
+    def step(self) -> list[tuple[int, str]]:
+        """Admit whatever fits, advance every active lane one bucketed
+        chunk, retire finished requests.  Returns [(id, text), ...] for the
+        requests that completed this step (empty while lanes are mid-
+        flight, or immediately when the engine is idle)."""
+        if not self._started:
+            self.start()
+        self._admit_all()
+        if not self._lanes:
+            return []
+
+        length = self._bucket(self._lanes)
+        bufs, samp, logits, keys, ptr, out = self._decode_fn(length)(
+            self.dec.params, *self._state)
+        self._state = (bufs, samp, logits, keys, ptr)
+        out = np.asarray(out)
+        self.stats["chunks"] += 1
+        self.stats["decoded_tokens"] += length * self.slots
+
+        completed: list[tuple[int, str]] = []
+        for slot in list(self._lanes):
+            lane = self._lanes[slot]
+            take = min(length, lane.req.max_new - len(lane.out_bytes))
+            lane.out_bytes.extend(int(b) for b in out[:take, slot])
+            done = len(lane.out_bytes) >= lane.req.max_new
+            if lane.req.stop:
+                stop_b = lane.req.stop.encode("utf-8")
+                pos = bytes(lane.out_bytes).find(stop_b)
+                if pos >= 0:
+                    lane.out_bytes = lane.out_bytes[: pos + len(stop_b)]
+                    done = True
+            if done:
+                text = bytes(lane.prompt_bytes + lane.out_bytes).decode(
+                    "utf-8", errors="replace")
+                self.results[lane.index] = text
+                self.metrics[lane.index]["done_chunk"] = self.stats["chunks"]
+                self.completion_order.append(lane.index)
+                completed.append((lane.index, text))
+                del self._lanes[slot]
+                self._free.append(slot)
+        return completed
+
+    def turnaround(self) -> dict:
+        """Mean/max completed-request turnaround in chunk units (the
+        device-work clock): done_chunk - submit_chunk.  The CPU-comparable
+        scheduling metric — policies reorder admission, turnaround shows
+        what that buys."""
+        waits = [m["done_chunk"] - m["submit_chunk"]
+                 for m in self.metrics.values() if "done_chunk" in m]
+        if not waits:
+            return {"completed": 0, "mean": 0.0, "max": 0}
+        return {"completed": len(waits),
+                "mean": float(sum(waits)) / len(waits),
+                "max": int(max(waits))}
+
     def run(self, requests: list, *, progress=None) -> list[str]:
-        """Drain a request queue; returns prompt+completion per request, in
-        submission order.  ``progress(done, total)`` is called per chunk.
+        """Drain a static request queue; returns prompt+completion per
+        request, in submission order.  ``progress(done, total)`` is called
+        per chunk.  Resets any prior engine state.
 
         Admission follows ``self.policy`` ("fifo"/"priority"/"sjf"/"edf");
         per-request math is admission-order-invariant (the rotation +
         per-lane keys), so policy changes WHEN a request runs, never WHAT
         it produces — pinned by tests/unit/test_engine.py."""
-        items = [
-            (i, r if isinstance(r, Request) else Request(prompt=str(r)))
-            for i, r in enumerate(requests)
-        ]
-        pending = deque(sorted(items, key=self._admission_key))
-        results: list = [None] * len(requests)
-        bufs, samp, logits, keys, ptr = self._blank_state()
-        free = list(range(self.slots))
-        lanes: dict[int, _Lane] = {}
-        chunks = 0
-        self.completion_order = []
-        self.stats = {"chunks": 0, "decoded_tokens": 0}
-
-        while pending or lanes:
-            while pending and free:
-                slot = free.pop()
-                idx, req = pending.popleft()
-                enc, fb, fl, fs, fk = self._prefill(req)
-                bufs, samp, logits, keys = self._admit_fn(
-                    bufs, samp, logits, keys, ptr, jnp.int32(slot), fb, fl, fs, fk)
-                lanes[slot] = _Lane(index=idx, req=req, prompt_bytes=enc)
-
-            length = self._bucket(lanes)
-            bufs, samp, logits, keys, ptr, out = self._decode_fn(length)(
-                self.dec.params, bufs, samp, logits, keys, ptr)
-            out = np.asarray(out)
-            chunks += 1
-            self.stats["chunks"] = chunks
-            self.stats["decoded_tokens"] += length * self.slots
-
-            for slot in list(lanes):
-                lane = lanes[slot]
-                take = min(length, lane.req.max_new - len(lane.out_bytes))
-                lane.out_bytes.extend(int(b) for b in out[:take, slot])
-                done = len(lane.out_bytes) >= lane.req.max_new
-                if lane.req.stop:
-                    stop_b = lane.req.stop.encode("utf-8")
-                    pos = bytes(lane.out_bytes).find(stop_b)
-                    if pos >= 0:
-                        lane.out_bytes = lane.out_bytes[: pos + len(stop_b)]
-                        done = True
-                if done:
-                    results[lane.index] = bytes(
-                        lane.prompt_bytes + lane.out_bytes
-                    ).decode("utf-8", errors="replace")
-                    self.completion_order.append(lane.index)
-                    del lanes[slot]
-                    free.append(slot)
+        self.start()
+        ids = [self.submit(r) for r in requests]
+        while not self.idle:
+            self.step()
             if progress is not None:
-                progress(sum(1 for r in results if r is not None), len(requests))
-
-        return results
+                progress(len(self.results), len(requests))
+        return [self.results[rid] for rid in ids]

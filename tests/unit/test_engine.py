@@ -161,3 +161,56 @@ class TestServingEngine:
         _, logits = dec.init_state(window)
         np.testing.assert_allclose(np.asarray(fl), np.asarray(logits),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_continuous_admission_matches_batch(self, setup):
+        """Requests submitted MID-DECODE (between step() calls) must get
+        byte-identical text to a batch run of the same requests — the
+        admission-invariance contract extended to live arrivals."""
+        cfg, params = setup
+        reqs = [Request(prompt=f"live {i}: the dog", max_new=8 + 4 * i,
+                        seed=10 + i) for i in range(4)]
+
+        batch = ServingEngine(params, cfg, slots=2, decode_chunk=8).run(
+            [Request(**r.__dict__) for r in reqs])
+
+        eng = ServingEngine(params, cfg, slots=2, decode_chunk=8)
+        ids = [eng.submit(Request(**reqs[0].__dict__)),
+               eng.submit(Request(**reqs[1].__dict__))]
+        eng.step()  # both lanes mid-flight, nonzero buffer phase
+        ids.append(eng.submit(Request(**reqs[2].__dict__)))  # live arrival
+        eng.step()
+        ids.append(eng.submit(Request(**reqs[3].__dict__)))  # another
+        while not eng.idle:
+            eng.step()
+        live = [eng.results[rid] for rid in ids]
+        assert live == batch
+
+    def test_step_returns_completions_and_reuses_slots(self, setup):
+        cfg, params = setup
+        eng = ServingEngine(params, cfg, slots=1, decode_chunk=8)
+        a = eng.submit(Request(prompt="first", max_new=8, seed=1))
+        done = eng.step()
+        assert done and done[0][0] == a  # finished in one 8-chunk
+        assert eng.idle and eng._free == [0]
+        b = eng.submit(Request(prompt="second", max_new=8, seed=2))
+        done = eng.step()
+        assert done[0][0] == b  # same slot serves the next request
+        assert eng.results[b].startswith("second")
+
+    def test_sjf_improves_mean_turnaround(self, setup):
+        """One long request ahead of three short ones on a single lane:
+        SJF must beat FIFO on mean turnaround measured in chunk units (the
+        device-work clock) — the anti-convoy property, measurable on CPU."""
+        cfg, params = setup
+        def queue():
+            return [Request(prompt="long", max_new=32, seed=1),
+                    Request(prompt="s1", max_new=8, seed=2),
+                    Request(prompt="s2", max_new=8, seed=3),
+                    Request(prompt="s3", max_new=8, seed=4)]
+
+        fifo = ServingEngine(params, cfg, slots=1, decode_chunk=8)
+        fifo.run(queue())
+        sjf = ServingEngine(params, cfg, slots=1, decode_chunk=8, policy="sjf")
+        sjf.run(queue())
+        assert sjf.turnaround()["mean"] < fifo.turnaround()["mean"]
+        assert sjf.turnaround()["completed"] == 4
