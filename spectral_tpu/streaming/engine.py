@@ -14,10 +14,12 @@ stream); this engine is the production shape of that exact decoder:
   between chunks the host retires finished requests and admits pending
   ones (the measured cost model: the scan itself supports ~300K bytes/s,
   end-to-end is host-RTT-amortization-bound — experiments/profile_decode);
-* admission = one [1, T] prefill (the same full-window forward
-  ``OverlapSaveBatch.init_state`` runs) + a rotation of the fresh
-  circular window into the engine's global write phase, so a request's
-  math is IDENTICAL no matter when it is admitted;
+* admission = ONE batched [M, T] prefill for the M requests admitted in
+  a round (the same full-window forward ``OverlapSaveBatch.init_state``
+  runs; serving is prefill-bound, so co-arriving requests share the
+  forward) + a rotation of each fresh circular window into the engine's
+  global write phase, so a request's math is IDENTICAL no matter when it
+  is admitted;
 * every lane carries its own PRNG key and sampler state, so a request's
   output depends only on (its seed, its prompt) — NOT on co-tenants or
   arrival order.  tests/unit/test_engine.py pins exactly this.
@@ -199,17 +201,39 @@ class ServingEngine:
             keys = jax.device_put(keys, self._lane_sharding)
         return bufs, samp, logits, keys, ptr
 
-    def _prefill(self, req: Request):
-        enc = list(req.prompt.encode("utf-8", errors="ignore")) or [32]
+    def _prefill_many(self, reqs: list):
+        """ONE batched [M_pad, T] prefill forward for every request
+        admitted this round.  Serving is prefill-bound (experiments/
+        profile_decode), so M requests admitted together must not pay M
+        full-window forwards.  M is padded to a power of two (blank
+        windows, rows discarded) so the jit variants stay bounded by
+        log2(slots)+1; per-row math is independent along the batch axis,
+        so results match the M=1 prefill."""
         T = self.dec.T
-        window = np.full((1, T), 32, np.int32)
-        tail = enc[-T:]
-        window[0, T - len(tail):] = tail
+        m_pad = 1
+        while m_pad < len(reqs):
+            m_pad <<= 1
+        windows = np.full((m_pad, T), 32, np.int32)
+        encs = []
+        for i, req in enumerate(reqs):
+            enc = list(req.prompt.encode("utf-8", errors="ignore")) or [32]
+            encs.append(enc)
+            tail = enc[-T:]
+            windows[i, T - len(tail):] = tail
         fresh_bufs, _, fresh_logits = self.dec._init_fn(
-            self.dec.params, jnp.asarray(window))
-        fresh_samp = self.sampler.init_state(enc)
-        fresh_key = jax.random.PRNGKey(req.seed)
-        return enc, fresh_bufs, fresh_logits, fresh_samp, fresh_key
+            self.dec.params, jnp.asarray(windows))
+        self.stats["prefill_calls"] = self.stats.get("prefill_calls", 0) + 1
+        out = []
+        for i, (req, enc) in enumerate(zip(reqs, encs)):
+            fb = [b[i:i + 1] for b in fresh_bufs]
+            out.append((enc, fb, fresh_logits[i:i + 1],
+                        self.sampler.init_state(enc),
+                        jax.random.PRNGKey(req.seed)))
+        return out
+
+    def _prefill(self, req: Request):
+        """Single-request prefill (the M=1 case of ``_prefill_many``)."""
+        return self._prefill_many([req])[0]
 
     def _admission_key(self, item):
         """Sort key implementing the admission policy; stable sort keeps
@@ -283,11 +307,12 @@ class ServingEngine:
         if not (self._pending and self._free):
             return
         self._pending.sort(key=self._admission_key)
-        bufs, samp, logits, keys, ptr = self._state
+        batch = []  # (slot, rid, req) admitted this round
         while self._pending and self._free:
-            slot = self._free.pop()
-            rid, req = self._pending.pop(0)
-            enc, fb, fl, fs, fk = self._prefill(req)
+            batch.append((self._free.pop(), *self._pending.pop(0)))
+        fresh = self._prefill_many([req for _, _, req in batch])
+        bufs, samp, logits, keys, ptr = self._state
+        for (slot, rid, req), (enc, fb, fl, fs, fk) in zip(batch, fresh):
             bufs, samp, logits, keys = self._admit_fn(
                 bufs, samp, logits, keys, ptr, jnp.int32(slot), fb, fl, fs, fk)
             self._lanes[slot] = _Lane(index=rid, req=req, prompt_bytes=enc)

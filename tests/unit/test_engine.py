@@ -214,3 +214,19 @@ class TestServingEngine:
         sjf.run(queue())
         assert sjf.turnaround()["mean"] < fifo.turnaround()["mean"]
         assert sjf.turnaround()["completed"] == 4
+
+    def test_admission_round_shares_one_prefill(self, setup):
+        """M co-arriving requests must cost ONE batched prefill forward,
+        not M (serving is prefill-bound), with per-request text identical
+        to solo-served runs (the M=1 prefill)."""
+        cfg, params = setup
+        reqs = [Request(prompt=f"share {i}", max_new=8, seed=30 + i)
+                for i in range(4)]
+
+        solo = [ServingEngine(params, cfg, slots=1, decode_chunk=8).run(
+                    [Request(**r.__dict__)])[0] for r in reqs]
+
+        eng = ServingEngine(params, cfg, slots=4, decode_chunk=8)
+        outs = eng.run([Request(**r.__dict__) for r in reqs])
+        assert eng.stats["prefill_calls"] == 1  # one [4, T] forward
+        assert outs == solo
