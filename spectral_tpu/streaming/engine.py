@@ -17,9 +17,10 @@ stream); this engine is the production shape of that exact decoder:
 * admission = ONE batched [M, T] prefill for the M requests admitted in
   a round (the same full-window forward ``OverlapSaveBatch.init_state``
   runs; serving is prefill-bound, so co-arriving requests share the
-  forward) + a rotation of each fresh circular window into the engine's
-  global write phase, so a request's math is IDENTICAL no matter when it
-  is admitted;
+  forward) + ONE scatter program inserting all M lanes (``_admit_impl``,
+  out-of-bounds rows dropped) + a rotation of each fresh circular window
+  into the engine's global write phase, so a request's math is IDENTICAL
+  no matter when it is admitted;
 * every lane carries its own PRNG key and sampler state, so a request's
   output depends only on (its seed, its prompt) — NOT on co-tenants or
   arrival order.  tests/unit/test_engine.py pins exactly this.
@@ -31,9 +32,22 @@ Scheduling: admission order follows ``policy`` — "fifo" (default),
 "priority" (Request.priority, higher first), "sjf" (shortest max_new
 first — anti-convoy for heterogeneous lengths) or "edf" (earliest
 Request.deadline first).  Because per-request math is admission-invariant,
-policies change latency ordering only, never outputs.  The decode scan
-length adapts to the longest remaining lane (power-of-two buckets), so a
-queue tail of short requests stops paying full-chunk device time.
+policies change latency ordering only, never outputs.  Scan lengths are
+sized to the EVENT HORIZON — the earliest retirement among active lanes
+(``_bucket``): multiple chunks run in one dispatch while nothing can
+retire, and short tails shrink below a chunk, so neither the tunnel RTT
+nor full-chunk padding convoys the queue.
+
+**The host never blocks mid-drain** (``step(fetch=False)``, what ``run``
+uses): retirement is by token COUNT, which the host knows without reading
+a single output byte, so decode chunks, prefills and admits are issued as
+one asynchronous dispatch chain and the only value fetch is ``finalize()``
+at the end.  On the tunneled chip this matters more than device work:
+the first (per-chunk-sync) engine measured 1.43 s for a queue whose device
+work was ~0.2 s — every chunk paid a host RTT (experiments/
+profile_engine.py).  Stop-sequence requests are the exception: deciding
+"did the stop string appear" needs bytes, so any active stop-bearing lane
+forces that chunk to fetch (correctness first, pipelining where legal).
 
 Two driving shapes share one core:
 
@@ -46,9 +60,9 @@ Two driving shapes share one core:
   steps model a live server; admission-invariance guarantees the text
   each request gets is byte-identical to what a batch run would give.
 
-Per-request ``metrics`` record submit/admit/done in units of the chunk
-counter (the device-work clock), so scheduling policies are comparable
-by mean turnaround on CPU, without chip timing.
+Per-request ``metrics`` record submit/admit/done on the device-work
+clock (cumulative scan tokens issued), so scheduling policies are
+comparable by mean turnaround on CPU, without chip timing.
 """
 
 from __future__ import annotations
@@ -78,12 +92,24 @@ class Request:
 class _Lane:
     index: int  # position in the submitted request list
     req: Request
+    slot: int
     prompt_bytes: list = field(default_factory=list)
-    out_bytes: list = field(default_factory=list)
+    # ordered completion parts: either a list[int] of fetched bytes or a
+    # (chunk_seq, take, slot) span into a not-yet-fetched chunk output
+    parts: list = field(default_factory=list)
+    n_done: int = 0  # host-known decoded count (drives retirement)
 
 
 class ServingEngine:
     """Queue-draining exact decoder: fixed lanes, continuous admission."""
+
+    # finalize() automatically once this many unfetched chunk outputs
+    # accumulate (bounds host+device memory in a long async session)
+    MAX_PENDING_CHUNKS = 64
+    # event-horizon scheduling: largest scan is MAX_MULTI * decode_chunk
+    # tokens (bounds the jit-variant ladder and the overshoot past a
+    # mid-scan arrival the host hasn't seen yet)
+    MAX_MULTI = 8
 
     def __init__(self, params: dict, cfg: TrainConfig, *, slots: int = 8,
                  decode_chunk: int = 32, buf_dtype: str = "float32",
@@ -103,7 +129,7 @@ class ServingEngine:
         # observability: filled by run() — completion_order lists request
         # indices in retire order; stats counts device work actually issued
         self.completion_order: list[int] = []
-        self.stats = {"chunks": 0, "decoded_tokens": 0}
+        self.stats = {"chunks": 0, "decoded_tokens": 0, "scan_tokens": 0}
         # Data-parallel serving: every lane op is independent along N, so
         # sharding the lane axis over the mesh's dp devices needs ZERO
         # collectives — params replicate, lane state splits.  The jitted
@@ -130,27 +156,36 @@ class ServingEngine:
         self._state = None  # (bufs, samp, logits, keys, ptr)
         self._lanes: dict[int, _Lane] = {}
         self._free: list[int] = []
+        self._chunk_outs: dict[int, jax.Array] = {}  # chunk seq -> [len, N]
+        self._deferred: list[_Lane] = []  # retired, text not yet fetched
         self.results: dict[int, str] = {}  # request id -> completed text
         self.metrics: dict[int, dict] = {}  # id -> submit/admit/done chunks
 
     # -- device programs ----------------------------------------------------
 
-    def _admit_impl(self, bufs, samp, logits, keys, ptr, slot,
-                    fresh_bufs, fresh_logits, fresh_samp, fresh_key):
-        """Insert a freshly prefilled stream into lane ``slot``.
+    def _admit_impl(self, bufs, samp, logits, keys, ptr, slots_arr,
+                    fresh_bufs, fresh_logits, fresh_samp, fresh_keys):
+        """Insert one admission round of freshly prefilled streams — ALL M
+        lanes in ONE scatter program (the per-slot loop paid one dispatch
+        RTT per admitted request).
 
-        ``fresh_bufs`` come from a ptr=0 prefill (oldest at slot 0); the
-        engine's next write goes to slot ``ptr``, so rotate the fresh
-        window by ``ptr`` along time — after which the lane is
-        indistinguishable from one initialized at engine start.
+        ``slots_arr`` is [M_pad] int32, padded entries = ``self.slots``
+        (out of bounds, dropped by ``mode="drop"``).  ``fresh_bufs`` come
+        from a ptr=0 prefill (oldest at slot 0); the engine's next write
+        goes to slot ``ptr``, so rotate each fresh window by ``ptr`` along
+        time — after which a lane is indistinguishable from one
+        initialized at engine start.
         """
+        rolled = [jax.vmap(lambda x: jnp.roll(x, ptr, axis=0))(f)
+                  for f in fresh_bufs]
         new_bufs = [
-            b.at[slot].set(jnp.roll(f[0], ptr, axis=0).astype(b.dtype))
-            for b, f in zip(bufs, fresh_bufs)
+            b.at[slots_arr].set(r.astype(b.dtype), mode="drop")
+            for b, r in zip(bufs, rolled)
         ]
-        samp = jax.tree.map(lambda s, f: s.at[slot].set(f), samp, fresh_samp)
-        logits = logits.at[slot].set(fresh_logits[0])
-        keys = keys.at[slot].set(fresh_key)
+        samp = jax.tree.map(
+            lambda s, f: s.at[slots_arr].set(f, mode="drop"), samp, fresh_samp)
+        logits = logits.at[slots_arr].set(fresh_logits, mode="drop")
+        keys = keys.at[slots_arr].set(fresh_keys, mode="drop")
         return new_bufs, samp, logits, keys
 
     def _decode_impl(self, params, bufs, samp, logits, keys, ptr, *, length):
@@ -206,9 +241,13 @@ class ServingEngine:
         admitted this round.  Serving is prefill-bound (experiments/
         profile_decode), so M requests admitted together must not pay M
         full-window forwards.  M is padded to a power of two (blank
-        windows, rows discarded) so the jit variants stay bounded by
-        log2(slots)+1; per-row math is independent along the batch axis,
-        so results match the M=1 prefill."""
+        windows, rows dropped at scatter) so the jit variants stay bounded
+        by log2(slots)+1; per-row math is independent along the batch
+        axis, so results match the M=1 prefill.
+
+        Returns ``(encs, fresh_bufs, fresh_logits, fresh_samp,
+        fresh_keys, m_pad)`` with every device value BATCHED [m_pad, ...]
+        — the shape ``_admit_impl`` scatters in one program."""
         T = self.dec.T
         m_pad = 1
         while m_pad < len(reqs):
@@ -223,17 +262,17 @@ class ServingEngine:
         fresh_bufs, _, fresh_logits = self.dec._init_fn(
             self.dec.params, jnp.asarray(windows))
         self.stats["prefill_calls"] = self.stats.get("prefill_calls", 0) + 1
-        out = []
-        for i, (req, enc) in enumerate(zip(reqs, encs)):
-            fb = [b[i:i + 1] for b in fresh_bufs]
-            out.append((enc, fb, fresh_logits[i:i + 1],
-                        self.sampler.init_state(enc),
-                        jax.random.PRNGKey(req.seed)))
-        return out
+        fresh_samp = self.sampler.init_state_batch(
+            encs + [[32]] * (m_pad - len(reqs)))
+        seeds = [req.seed for req in reqs] + [0] * (m_pad - len(reqs))
+        fresh_keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
+        return encs, fresh_bufs, fresh_logits, fresh_samp, fresh_keys, m_pad
 
     def _prefill(self, req: Request):
-        """Single-request prefill (the M=1 case of ``_prefill_many``)."""
-        return self._prefill_many([req])[0]
+        """Single-request prefill (the M=1 row of ``_prefill_many``)."""
+        encs, fb, fl, fs, fk, _ = self._prefill_many([req])
+        return (encs[0], [b[0:1] for b in fb], fl[0:1],
+                jax.tree.map(lambda x: x[0], fs), fk[0])
 
     def _admission_key(self, item):
         """Sort key implementing the admission policy; stable sort keeps
@@ -250,21 +289,33 @@ class ServingEngine:
         return idx  # fifo
 
     def _bucket(self, lanes) -> int:
-        """Scan length for this iteration: the full decode_chunk while any
-        lane needs it, else the smallest power-of-two covering the longest
-        remaining lane — short tails stop paying for full chunks (the
-        anti-convoy half of the scheduling story; each distinct length is
-        one extra cached jit, bounded by log2(decode_chunk))."""
-        need = max(
-            (lane.req.max_new - len(lane.out_bytes) for lane in lanes.values()),
-            default=1,
-        )
+        """Scan length for this iteration, sized to the EVENT HORIZON —
+        the earliest retirement among active lanes:
+
+        * nothing can retire for >= decode_chunk tokens -> run MULTIPLE
+          chunks in one scan (power-of-two multiples up to MAX_MULTI x
+          chunk).  Between events there is no host decision to make, so
+          chunk-at-a-time dispatching only buys tunnel RTTs (measured:
+          the per-chunk engine spent 5x its device time on dispatch —
+          experiments/profile_engine.py);
+        * the earliest retirement is < decode_chunk away -> the smallest
+          power-of-two covering it, so short tails stop paying full
+          chunks and the freed slot admits the next request immediately.
+
+        Never overshoots the earliest retirement by more than the pow2
+        rounding, so pending requests are not convoyed behind an oversized
+        scan.  Each distinct length is one cached jit; the ladder is
+        bounded by log2(decode_chunk) + log2(MAX_MULTI) programs."""
+        need = min(lane.req.max_new - lane.n_done for lane in lanes.values())
         if need >= self.chunk:
-            return self.chunk
+            m = 1
+            while m * 2 * self.chunk <= need and m * 2 <= self.MAX_MULTI:
+                m *= 2
+            return m * self.chunk
         b = 1
         while b < need:
             b <<= 1
-        return min(b, self.chunk)
+        return b
 
     def start(self) -> None:
         """(Re)initialize lane state for a fresh serving session.  Called
@@ -275,10 +326,12 @@ class ServingEngine:
         self._lanes = {}
         self._pending = []
         self._next_id = 0
+        self._chunk_outs = {}
+        self._deferred = []
         self.results = {}
         self.metrics = {}
         self.completion_order = []
-        self.stats = {"chunks": 0, "decoded_tokens": 0}
+        self.stats = {"chunks": 0, "decoded_tokens": 0, "scan_tokens": 0}
         self._started = True
 
     @property
@@ -297,11 +350,12 @@ class ServingEngine:
         if not isinstance(req, Request):
             req = Request(prompt=str(req))
         self._pending.append((rid, req))
-        self.metrics[rid] = {"submit_chunk": self.stats["chunks"]}
+        self.metrics[rid] = {"submit_work": self.stats["scan_tokens"]}
         return rid
 
     def _admit_all(self) -> None:
-        """Fill free lanes from the pending queue in policy order.  The
+        """Fill free lanes from the pending queue in policy order — one
+        batched prefill + ONE scatter dispatch for the whole round.  The
         sort is stable and re-applied per admission round, so requests
         submitted after earlier rounds join the ordering seamlessly."""
         if not (self._pending and self._free):
@@ -310,20 +364,32 @@ class ServingEngine:
         batch = []  # (slot, rid, req) admitted this round
         while self._pending and self._free:
             batch.append((self._free.pop(), *self._pending.pop(0)))
-        fresh = self._prefill_many([req for _, _, req in batch])
+        encs, fb, fl, fs, fk, m_pad = self._prefill_many(
+            [req for _, _, req in batch])
+        slots_arr = np.full((m_pad,), self.slots, np.int32)  # pad -> dropped
+        for i, (slot, _, _) in enumerate(batch):
+            slots_arr[i] = slot
         bufs, samp, logits, keys, ptr = self._state
-        for (slot, rid, req), (enc, fb, fl, fs, fk) in zip(batch, fresh):
-            bufs, samp, logits, keys = self._admit_fn(
-                bufs, samp, logits, keys, ptr, jnp.int32(slot), fb, fl, fs, fk)
-            self._lanes[slot] = _Lane(index=rid, req=req, prompt_bytes=enc)
-            self.metrics[rid]["admit_chunk"] = self.stats["chunks"]
+        bufs, samp, logits, keys = self._admit_fn(
+            bufs, samp, logits, keys, ptr, jnp.asarray(slots_arr), fb, fl, fs, fk)
+        for (slot, rid, req), enc in zip(batch, encs):
+            self._lanes[slot] = _Lane(index=rid, req=req, slot=slot,
+                                      prompt_bytes=enc)
+            self.metrics[rid]["admit_work"] = self.stats["scan_tokens"]
         self._state = (bufs, samp, logits, keys, ptr)
 
-    def step(self) -> list[tuple[int, str]]:
+    def step(self, fetch: bool = True) -> list[tuple[int, str | None]]:
         """Admit whatever fits, advance every active lane one bucketed
         chunk, retire finished requests.  Returns [(id, text), ...] for the
         requests that completed this step (empty while lanes are mid-
-        flight, or immediately when the engine is idle)."""
+        flight, or immediately when the engine is idle).
+
+        ``fetch=False`` defers the output-byte transfer: retirement is by
+        token count (host-known), so the step issues its device programs
+        WITHOUT blocking on the chunk result — completions come back as
+        ``(id, None)`` and their text lands in ``results`` at
+        ``finalize()``.  A chunk in which any active lane carries a stop
+        sequence fetches regardless (stop detection needs bytes)."""
         if not self._started:
             self.start()
         self._admit_all()
@@ -334,40 +400,94 @@ class ServingEngine:
         bufs, samp, logits, keys, ptr, out = self._decode_fn(length)(
             self.dec.params, *self._state)
         self._state = (bufs, samp, logits, keys, ptr)
-        out = np.asarray(out)
+        seq = self.stats["chunks"]
         self.stats["chunks"] += 1
         self.stats["decoded_tokens"] += length * self.slots
+        self.stats["scan_tokens"] += length
 
-        completed: list[tuple[int, str]] = []
+        fetch_now = fetch or any(l.req.stop for l in self._lanes.values())
+        out_np = np.asarray(out) if fetch_now else None
+        if not fetch_now:
+            self._chunk_outs[seq] = out
+
+        completed: list[tuple[int, str | None]] = []
         for slot in list(self._lanes):
             lane = self._lanes[slot]
-            take = min(length, lane.req.max_new - len(lane.out_bytes))
-            lane.out_bytes.extend(int(b) for b in out[:take, slot])
-            done = len(lane.out_bytes) >= lane.req.max_new
+            take = min(length, lane.req.max_new - lane.n_done)
+            if fetch_now:
+                lane.parts.append([int(b) for b in out_np[:take, slot]])
+            else:
+                lane.parts.append((seq, take, slot))
+            lane.n_done += take
+            done = lane.n_done >= lane.req.max_new
             if lane.req.stop:
+                # stop-bearing lanes force fetch_now, so parts are all bytes
+                flat = [b for part in lane.parts for b in part]
                 stop_b = lane.req.stop.encode("utf-8")
-                pos = bytes(lane.out_bytes).find(stop_b)
+                pos = bytes(flat).find(stop_b)
                 if pos >= 0:
-                    lane.out_bytes = lane.out_bytes[: pos + len(stop_b)]
+                    lane.parts = [flat[: pos + len(stop_b)]]
+                    lane.n_done = pos + len(stop_b)
                     done = True
             if done:
-                text = bytes(lane.prompt_bytes + lane.out_bytes).decode(
-                    "utf-8", errors="replace")
-                self.results[lane.index] = text
-                self.metrics[lane.index]["done_chunk"] = self.stats["chunks"]
+                self.metrics[lane.index]["done_work"] = self.stats["scan_tokens"]
                 self.completion_order.append(lane.index)
-                completed.append((lane.index, text))
                 del self._lanes[slot]
                 self._free.append(slot)
+                if all(isinstance(p, list) for p in lane.parts):
+                    text = self._assemble(lane, {})
+                    completed.append((lane.index, text))
+                else:
+                    self._deferred.append(lane)
+                    completed.append((lane.index, None))
+        if len(self._chunk_outs) > self.MAX_PENDING_CHUNKS:
+            self.finalize()
         return completed
 
+    def _assemble(self, lane: _Lane, fetched: dict) -> str:
+        """Concatenate a retired lane's parts (fetching spans from
+        ``fetched``: chunk seq -> np [len, N]) into its result text."""
+        out: list[int] = []
+        for part in lane.parts:
+            if isinstance(part, list):
+                out.extend(part)
+            else:
+                seq, take, slot = part
+                out.extend(int(b) for b in fetched[seq][:take, slot])
+        text = bytes(lane.prompt_bytes + out).decode("utf-8", errors="replace")
+        self.results[lane.index] = text
+        return text
+
+    def finalize(self) -> None:
+        """Fetch every deferred chunk output in one transfer and assemble
+        the texts of retired-but-unread requests into ``results``.  Spans
+        held by still-active lanes are materialized to bytes too, so all
+        device chunk buffers are released."""
+        if not self._chunk_outs and not self._deferred:
+            return
+        fetched = {seq: np.asarray(arr)
+                   for seq, arr in self._chunk_outs.items()}
+        self._chunk_outs = {}
+        for lane in self._deferred:
+            self._assemble(lane, fetched)
+        self._deferred = []
+        for lane in self._lanes.values():  # active lanes: spans -> bytes
+            lane.parts = [
+                part if isinstance(part, list)
+                else [int(b) for b in fetched[part[0]][:part[1], part[2]]]
+                for part in lane.parts
+            ]
+
     def turnaround(self) -> dict:
-        """Mean/max completed-request turnaround in chunk units (the
-        device-work clock): done_chunk - submit_chunk.  The CPU-comparable
+        """Mean/max completed-request turnaround on the device-WORK clock
+        (cumulative scan tokens issued): done_work - submit_work.  Scans
+        have different lengths under event-horizon scheduling, so counting
+        chunks would weight a 256-token scan equal to a 4-token tail; the
+        token clock stays proportional to device time.  The CPU-comparable
         scheduling metric — policies reorder admission, turnaround shows
         what that buys."""
-        waits = [m["done_chunk"] - m["submit_chunk"]
-                 for m in self.metrics.values() if "done_chunk" in m]
+        waits = [m["done_work"] - m["submit_work"]
+                 for m in self.metrics.values() if "done_work" in m]
         if not waits:
             return {"completed": 0, "mean": 0.0, "max": 0}
         return {"completed": len(waits),
@@ -382,11 +502,14 @@ class ServingEngine:
         Admission follows ``self.policy`` ("fifo"/"priority"/"sjf"/"edf");
         per-request math is admission-order-invariant (the rotation +
         per-lane keys), so policy changes WHEN a request runs, never WHAT
-        it produces — pinned by tests/unit/test_engine.py."""
+        it produces — pinned by tests/unit/test_engine.py.  The drain is
+        fully asynchronous (``step(fetch=False)``): no host sync until the
+        single ``finalize()`` at the end."""
         self.start()
         ids = [self.submit(r) for r in requests]
         while not self.idle:
-            self.step()
+            self.step(fetch=False)
             if progress is not None:
-                progress(len(self.results), len(requests))
+                progress(len(self.completion_order), len(requests))
+        self.finalize()
         return [self.results[rid] for rid in ids]

@@ -189,8 +189,9 @@ class DeviceSampler:
         self.ascii_banned = jnp.asarray(banned if cfg.ascii_only else np.zeros(256, np.bool_))
         self.ban_cr = cfg.ban_cr
 
-    def init_state(self, prompt_ids: list[int]):
-        """Carried sampler state seeded from the prompt's recent window."""
+    @staticmethod
+    def _init_state_np(prompt_ids: list[int]) -> dict:
+        """Host-side (numpy) sampler state for one prompt."""
         window = ([0] * 256 + list(prompt_ids))[-256:]
         ring = np.asarray(window, np.int32)
         counts = np.zeros(256, np.int32)
@@ -207,13 +208,28 @@ class DeviceSampler:
             else:
                 break
         return {
-            "ring": jnp.asarray(ring),
-            "ring_pos": jnp.int32(0),
-            "counts": jnp.asarray(counts),
-            "pad_left": jnp.int32(pad),
-            "run_byte": jnp.int32(run_byte),
-            "run_len": jnp.int32(run_len),
+            "ring": ring,
+            "ring_pos": np.int32(0),
+            "counts": counts,
+            "pad_left": np.int32(pad),
+            "run_byte": np.int32(run_byte),
+            "run_len": np.int32(run_len),
         }
+
+    def init_state(self, prompt_ids: list[int]):
+        """Carried sampler state seeded from the prompt's recent window."""
+        return {k: jnp.asarray(v)
+                for k, v in self._init_state_np(prompt_ids).items()}
+
+    def init_state_batch(self, prompts: list):
+        """Stacked [M, ...] sampler state for M prompts with ONE
+        host->device transfer per leaf.  The per-request ``init_state``
+        pays ~6 tiny transfers each; a serving-engine admission round
+        (streaming/engine.py) builds all M co-admitted states at once —
+        on the tunneled chip each transfer is a host RTT."""
+        host = [self._init_state_np(p) for p in prompts]
+        return {k: jnp.asarray(np.stack([h[k] for h in host]))
+                for k in host[0]}
 
     def process_logits(self, logits: jax.Array, state: dict) -> jax.Array:
         """[256] raw logits -> penalized, tempered, nucleus-masked logits."""

@@ -199,8 +199,9 @@ class TestServingEngine:
 
     def test_sjf_improves_mean_turnaround(self, setup):
         """One long request ahead of three short ones on a single lane:
-        SJF must beat FIFO on mean turnaround measured in chunk units (the
-        device-work clock) — the anti-convoy property, measurable on CPU."""
+        SJF must beat FIFO on mean turnaround measured on the token work
+        clock (cumulative scan tokens) — the anti-convoy property,
+        measurable on CPU."""
         cfg, params = setup
         def queue():
             return [Request(prompt="long", max_new=32, seed=1),
@@ -214,6 +215,64 @@ class TestServingEngine:
         sjf.run(queue())
         assert sjf.turnaround()["mean"] < fifo.turnaround()["mean"]
         assert sjf.turnaround()["completed"] == 4
+
+    def test_async_drain_matches_sync(self, setup):
+        """step(fetch=False) must produce byte-identical results to the
+        per-chunk-sync path — deferral changes WHEN bytes are read, never
+        what they are.  Completions surface as (id, None) and the text
+        lands at finalize()."""
+        cfg, params = setup
+        reqs = [Request(prompt=f"async {i}", max_new=8 + 4 * i, seed=40 + i)
+                for i in range(4)]
+
+        sync_eng = ServingEngine(params, cfg, slots=2, decode_chunk=8)
+        sync_eng.start()
+        ids = [sync_eng.submit(Request(**r.__dict__)) for r in reqs]
+        while not sync_eng.idle:
+            sync_eng.step(fetch=True)
+        sync = [sync_eng.results[i] for i in ids]
+
+        eng = ServingEngine(params, cfg, slots=2, decode_chunk=8)
+        eng.start()
+        ids = [eng.submit(Request(**r.__dict__)) for r in reqs]
+        deferred = []
+        while not eng.idle:
+            deferred += eng.step(fetch=False)
+        assert all(text is None for _, text in deferred)  # nothing fetched
+        assert eng._chunk_outs or eng._deferred  # fetches actually deferred
+        eng.finalize()
+        assert not eng._chunk_outs and not eng._deferred
+        assert [eng.results[i] for i in ids] == sync
+
+    def test_async_auto_finalize_bounds_pending(self, setup):
+        """A long async session must not accumulate unbounded device chunk
+        outputs: step() auto-finalizes past MAX_PENDING_CHUNKS."""
+        cfg, params = setup
+        eng = ServingEngine(params, cfg, slots=1, decode_chunk=1)
+        eng.MAX_PENDING_CHUNKS = 4
+        eng.start()
+        rid = eng.submit(Request(prompt="bound", max_new=16, seed=9))
+        while not eng.idle:
+            eng.step(fetch=False)
+            assert len(eng._chunk_outs) <= 4 + 1
+        eng.finalize()
+        assert rid in eng.results
+
+    def test_stop_sequence_forces_fetch_in_async_mode(self, setup):
+        """A stop-bearing request decoded with fetch=False must still
+        truncate at the stop string (its chunks fetch regardless)."""
+        cfg, params = setup
+        req = Request(prompt="hello", max_new=40, seed=3, stop=" ")
+        sync = ServingEngine(params, cfg, slots=1, decode_chunk=8).run(
+            [Request(**req.__dict__)])[0]
+
+        eng = ServingEngine(params, cfg, slots=1, decode_chunk=8)
+        eng.start()
+        rid = eng.submit(Request(**req.__dict__))
+        while not eng.idle:
+            eng.step(fetch=False)
+        eng.finalize()
+        assert eng.results[rid] == sync
 
     def test_admission_round_shares_one_prefill(self, setup):
         """M co-arriving requests must cost ONE batched prefill forward,
