@@ -16,6 +16,9 @@ Usage:
     python -m scripts.serve_fleet --ckpt checkpoints/code_d512x6.msgpack \
         --prompt "def main():" --streams 8 --max-new 256 [--mode fir]
     python -m scripts.serve_fleet --prompts-file prompts.txt   # one per line
+    # prompts-file lines may carry a per-request length: "64<TAB>prompt..."
+    # (heterogeneous lengths; --mode engine schedules around them, the
+    # fixed-fleet modes pad everything to the longest)
 """
 
 from __future__ import annotations
@@ -67,12 +70,29 @@ def main(argv=None) -> None:
         params = params["backbone"]
 
     if args.prompts_file:
+        # one request per line; an optional "N<TAB>" prefix overrides
+        # --max-new for that request (heterogeneous lengths are what
+        # --mode engine schedules around; the fixed-fleet modes pad to
+        # the longest)
+        prompts, max_news = [], []
         with open(args.prompts_file) as f:
-            prompts = [ln.rstrip("\n") for ln in f if ln.strip()]
+            for ln in f:
+                if not ln.strip():
+                    continue
+                head, tab, rest = ln.rstrip("\n").partition("\t")
+                if tab and head.isdigit():
+                    prompts.append(rest)
+                    max_news.append(int(head))
+                else:
+                    prompts.append(ln.rstrip("\n"))
+                    max_news.append(args.max_new)
     else:
         prompts = [f"{args.prompt}" for _ in range(args.streams)]
+        max_news = [args.max_new] * args.streams
 
+    pad_to = max(max_news)
     t0 = time.perf_counter()
+    eng = None
     if args.mode == "exact":
         from spectral_tpu.streaming.overlap_save_batch import (
             OverlapSaveBatch,
@@ -80,7 +100,7 @@ def main(argv=None) -> None:
         )
 
         dec = OverlapSaveBatch(params, cfg, buf_dtype=args.buf_dtype)
-        outs = overlap_save_generate_batch(dec, prompts, max_new=args.max_new,
+        outs = overlap_save_generate_batch(dec, prompts, max_new=pad_to,
                                            seed=args.seed)
     elif args.mode == "engine":
         from spectral_tpu.streaming.engine import Request, ServingEngine
@@ -88,22 +108,28 @@ def main(argv=None) -> None:
         eng = ServingEngine(params, cfg, slots=args.slots,
                             decode_chunk=args.decode_chunk,
                             buf_dtype=args.buf_dtype, policy=args.policy)
-        outs = eng.run([Request(prompt=p, max_new=args.max_new,
-                                seed=args.seed + i)
-                        for i, p in enumerate(prompts)])
+        outs = eng.run([Request(prompt=p, max_new=m, seed=args.seed + i)
+                        for i, (p, m) in enumerate(zip(prompts, max_news))])
     else:
         from spectral_tpu.streaming.fir import FIRStream, fir_generate_batch
 
         stream = FIRStream(params, cfg)
-        outs = fir_generate_batch(stream, prompts, max_new=args.max_new,
+        outs = fir_generate_batch(stream, prompts, max_new=pad_to,
                                   seed=args.seed)
     dt = time.perf_counter() - t0
 
     for i, o in enumerate(outs):
         print(f"\n=== stream {i} ===\n{safe_console(o)}")
-    n = len(prompts) * args.max_new
-    print(f"\n[{args.mode}] {len(prompts)} streams x {args.max_new} bytes in "
+    n = sum(max_news) if args.mode == "engine" else len(prompts) * pad_to
+    print(f"\n[{args.mode}] {len(prompts)} streams, {n} bytes in "
           f"{dt:.2f}s (incl. compile) = {n/dt:.0f} bytes/s", flush=True)
+    if eng is not None:
+        turn = eng.turnaround()
+        print(f"[engine] policy={args.policy} scans={eng.stats['chunks']} "
+              f"decoded={eng.stats['decoded_tokens']} "
+              f"prefills={eng.stats.get('prefill_calls', 0)} | turnaround "
+              f"mean {turn['mean']:.0f} / max {turn['max']} work-tokens",
+              flush=True)
 
 
 if __name__ == "__main__":
