@@ -305,8 +305,16 @@ class ServingEngine:
         Never overshoots the earliest retirement by more than the pow2
         rounding, so pending requests are not convoyed behind an oversized
         scan.  Each distinct length is one cached jit; the ladder is
-        bounded by log2(decode_chunk) + log2(MAX_MULTI) programs."""
+        bounded by log2(decode_chunk) + log2(MAX_MULTI) programs.
+
+        Stop-bearing lanes have an UNKNOWABLE event horizon (the stop
+        string can land on any byte), so any active stop caps the scan at
+        one ``decode_chunk``: a multi-chunk scan would decode up to
+        MAX_MULTI*chunk tokens past the stop, hold the slot, and convoy
+        pending requests behind the oversized (and force-fetched) scan."""
         need = min(lane.req.max_new - lane.n_done for lane in lanes.values())
+        if any(lane.req.stop for lane in lanes.values()):
+            need = min(need, self.chunk)
         if need >= self.chunk:
             m = 1
             while m * 2 * self.chunk <= need and m * 2 <= self.MAX_MULTI:
@@ -430,7 +438,11 @@ class ServingEngine:
                     lane.n_done = pos + len(stop_b)
                     done = True
             if done:
-                self.metrics[lane.index]["done_work"] = self.stats["scan_tokens"]
+                # work-clock at the token this lane actually finished on:
+                # a stop truncation or sub-chunk tail completes mid-scan,
+                # so discount the scan tokens issued past its last take
+                self.metrics[lane.index]["done_work"] = (
+                    self.stats["scan_tokens"] - (length - take))
                 self.completion_order.append(lane.index)
                 del self._lanes[slot]
                 self._free.append(slot)

@@ -246,17 +246,48 @@ class TestServingEngine:
 
     def test_async_auto_finalize_bounds_pending(self, setup):
         """A long async session must not accumulate unbounded device chunk
-        outputs: step() auto-finalizes past MAX_PENDING_CHUNKS."""
+        outputs: step() auto-finalizes past MAX_PENDING_CHUNKS.  MAX_MULTI
+        is pinned to 1 so scans genuinely outnumber the cap and the
+        auto-finalize branch (including mid-drain span materialization for
+        the still-active lane) demonstrably fires."""
         cfg, params = setup
         eng = ServingEngine(params, cfg, slots=1, decode_chunk=1)
-        eng.MAX_PENDING_CHUNKS = 4
+        eng.MAX_PENDING_CHUNKS = 2
+        eng.MAX_MULTI = 1  # one 1-token scan per step -> 16 pending chunks
         eng.start()
         rid = eng.submit(Request(prompt="bound", max_new=16, seed=9))
+        fired = False
         while not eng.idle:
             eng.step(fetch=False)
-            assert len(eng._chunk_outs) <= 4 + 1
+            assert len(eng._chunk_outs) <= 2 + 1
+            if eng.stats["chunks"] > eng.MAX_PENDING_CHUNKS and not eng._chunk_outs:
+                # auto-finalize cleared pending outputs while the lane was
+                # still mid-decode: its span parts were materialized
+                fired = True
+                assert all(isinstance(p, list)
+                           for l in eng._lanes.values() for p in l.parts)
+        assert fired
         eng.finalize()
         assert rid in eng.results
+
+    def test_stop_lane_caps_scan_length(self, setup):
+        """A stop-bearing lane's event horizon is unknowable, so its
+        presence must cap the scan at ONE decode_chunk — otherwise up to
+        MAX_MULTI*chunk tokens decode past the stop while the slot stays
+        occupied and pending requests convoy behind the scan."""
+        from spectral_tpu.streaming.engine import _Lane
+
+        cfg, params = setup
+        eng = ServingEngine(params, cfg, slots=2, decode_chunk=8)
+        free = _Lane(index=0, req=Request(prompt="a", max_new=256), slot=0)
+        assert eng._bucket({0: free}) == 8 * eng.MAX_MULTI  # multi-chunk ok
+        stopper = _Lane(index=1, req=Request(prompt="b", max_new=256,
+                                             stop="x"), slot=1)
+        assert eng._bucket({0: free, 1: stopper}) == 8  # capped at one chunk
+        # a sub-chunk tail still shrinks below the chunk
+        tail = _Lane(index=2, req=Request(prompt="c", max_new=3, stop="x"),
+                     slot=0)
+        assert eng._bucket({0: tail}) == 4
 
     def test_stop_sequence_forces_fetch_in_async_mode(self, setup):
         """A stop-bearing request decoded with fetch=False must still
