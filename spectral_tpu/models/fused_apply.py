@@ -242,10 +242,12 @@ def _tail_mesh(x, xn, s, h_fused, bp, mesh, sp_axis, tp_axis, n_fft,
     rows — the Megatron split parallel/mesh.param_pspecs declares) and the
     kernel's ``residual_alpha=1/tp`` + ``b2/tp`` make the psum over tp
     EXACTLY the unsharded tail (pallas_tail._tail_forward_values).  The
-    in-kernel dropout seed folds (dp, sp) shard indices but NOT tp: the
-    conv/output masks must agree across tp shards for the psum linearity
-    (the hidden mask is then the same bit pattern on every H/tp shard —
-    tp-correlated hidden dropout, a documented statistical deviation).
+    in-kernel dropout seed is a PAIR: the shared stream folds (dp, sp)
+    shard indices (conv/output masks must agree across tp shards for the
+    psum linearity), and the hidden-mask stream additionally folds the tp
+    index — each H-shard draws an independent hidden mask, so tp>1
+    dropout is statistically identical to the unsharded tail
+    (tests/unit/test_pallas_tail.py::test_tp_dropout_psum_linearity).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -290,17 +292,25 @@ def _tail_mesh(x, xn, s, h_fused, bp, mesh, sp_axis, tp_axis, n_fft,
     def local_tail(x_l, conv_l, s_l, ln2s, ln2b, W1, b1, W2, b2, seed_l):
         # decorrelate the in-kernel dropout streams across (dp, sp)
         # shards: the kernel folds only (local batch, local chunk) into
-        # its seed, which would repeat identically on every shard.  tp is
-        # NOT folded — see the docstring.
+        # its seed, which would repeat identically on every shard.
         idx = jnp.uint32(0)
         if nsp > 1:
             idx = jax.lax.axis_index(sp_axis).astype(jnp.uint32)
         if batch_axis is not None:
             idx = idx + jnp.uint32(nsp) * jax.lax.axis_index(batch_axis).astype(jnp.uint32)
         shard_seed = seed_l + idx * jnp.uint32(0x9E3779B9)
+        # the HIDDEN-mask stream additionally folds the tp index: each
+        # H-shard draws an independent hidden mask (statistically
+        # identical to unsharded dropout), while the conv/output masks —
+        # which must agree across tp for the psum linearity — keep the
+        # tp-independent shared seed (pallas_tail._tail_masks).
+        hid_seed = shard_seed
+        if ntp > 1:
+            tpi = jax.lax.axis_index(tp_axis).astype(jnp.uint32)
+            hid_seed = shard_seed + (jnp.uint32(1) + tpi) * jnp.uint32(0x85EBCA6B)
         out = fused_tail(x_l, conv_l, s_l, ln2s, ln2b, W1, b1, W2,
-                         b2 * alpha, shard_seed, p, compute_dtype, None,
-                         interpret, alpha)
+                         b2 * alpha, jnp.stack([shard_seed, hid_seed]),
+                         p, compute_dtype, None, interpret, alpha)
         if ntp > 1:
             out = jax.lax.psum(out, tp_axis)
         return out

@@ -124,8 +124,44 @@ def _tail_backward_values(gout, x, conv, s, ln2s, ln2b, W1, b1, W2, b2, cdt,
 # ---------------------------------------------------------------------------
 
 
-def _seed_for(seed_ref, b, t, nchunks):
-    return seed_ref[0] + jnp.uint32(b * nchunks + t)
+# distinct stream constants per mask so the three dropout streams stay
+# decorrelated even when the shared and hidden seeds are equal
+_MASK_STREAM = (0, 0x9E3779B9, 0x3C6EF372)
+
+
+def _tail_masks(seed_ref, b, t, nchunks, sc_shape, sh_shape, p):
+    """Draw the (conv, hidden, output) dropout masks for one program.
+
+    conv/output masks come from the SHARED seed (``seed_ref[0]``) — under
+    tensor parallelism they MUST agree across tp shards for the psum
+    linearity (they multiply pre-split / post-sum values).  The hidden
+    mask comes from ``seed_ref[1]``: the mesh route folds the tp shard
+    index into it (models/fused_apply._tail_mesh), so each H-shard draws
+    an INDEPENDENT hidden mask — the psum then reconstructs the unsharded
+    tail with a full-H mask whose units are independent draws, i.e.
+    statistically identical to unsharded dropout (pinned by
+    tests/unit/test_pallas_tail.py::test_tp_dropout_psum_linearity).
+    """
+    prog = jnp.uint32(b * nchunks + t)
+    sA = seed_ref[0] + prog
+    sH = seed_ref[1] + prog
+    pltpu.prng_seed(sA + jnp.uint32(_MASK_STREAM[0]))
+    m0 = _dropout_masks([sc_shape], p)[0]
+    pltpu.prng_seed(sH + jnp.uint32(_MASK_STREAM[1]))
+    m1 = _dropout_masks([sh_shape], p)[0]
+    pltpu.prng_seed(sA + jnp.uint32(_MASK_STREAM[2]))
+    m2 = _dropout_masks([sc_shape], p)[0]
+    return (m0, m1, m2)
+
+
+def _seed_pair(seed):
+    """Normalize a dropout seed to a (2,) uint32 [shared, hidden] array.
+    A scalar seed means hidden == shared (the single-device case; the
+    per-mask stream constants keep the three streams decorrelated)."""
+    arr = jnp.asarray(seed, jnp.uint32)
+    if arr.ndim == 0:
+        arr = jnp.stack([arr, arr])
+    return arr
 
 
 def _tail_fwd_kernel(seed_ref, x_ref, conv_ref, s_ref, ln2s_ref, ln2b_ref,
@@ -134,9 +170,8 @@ def _tail_fwd_kernel(seed_ref, x_ref, conv_ref, s_ref, ln2s_ref, ln2b_ref,
     b, t = pl.program_id(0), pl.program_id(1)
     masks = None
     if p > 0.0:
-        pltpu.prng_seed(_seed_for(seed_ref, b, t, nchunks))
         S, C = x_ref.shape[-2:]
-        masks = _dropout_masks([(S, C), (S, hidden), (S, C)], p)
+        masks = _tail_masks(seed_ref, b, t, nchunks, (S, C), (S, hidden), p)
     out, _ = _tail_forward_values(
         x_ref[0], conv_ref[0], s_ref[0], ln2s_ref[0], ln2b_ref[0],
         W1_ref[...], b1_ref[0], W2_ref[...], b2_ref[0], cdt, masks, alpha,
@@ -151,10 +186,9 @@ def _tail_bwd_kernel(seed_ref, gout_ref, x_ref, conv_ref, s_ref, ln2s_ref,
                      *, cdt, p, hidden, nchunks, alpha):
     b, t = pl.program_id(0), pl.program_id(1)
     masks = None
-    if p > 0.0:
-        pltpu.prng_seed(_seed_for(seed_ref, b, t, nchunks))  # same masks as fwd
+    if p > 0.0:  # same seeds, same draw order -> same masks as fwd
         S, C = x_ref.shape[-2:]
-        masks = _dropout_masks([(S, C), (S, hidden), (S, C)], p)
+        masks = _tail_masks(seed_ref, b, t, nchunks, (S, C), (S, hidden), p)
     args = (x_ref[0], conv_ref[0], s_ref[0], ln2s_ref[0], ln2b_ref[0],
             W1_ref[...], b1_ref[0], W2_ref[...], b2_ref[0])
     _, inter = _tail_forward_values(*args, cdt, masks, alpha)
@@ -231,14 +265,19 @@ def fused_tail(x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed,
 def _host_masks3(seed, B, T, C, H, p):
     """Host-PRNG dropout masks for the interpret path (pltpu.prng_seed has
     no CPU lowering).  Different stream than the in-kernel PRNG — dropout
-    streams are statistically, not bitwise, specified (pallas_block doc)."""
-    key = jax.random.fold_in(jax.random.PRNGKey(1), seed)
-    ks = jax.random.split(key, 3)
+    streams are statistically, not bitwise, specified (pallas_block doc).
+    Same seed-pair contract as ``_tail_masks``: conv/output masks from the
+    shared seed, the hidden mask from the hidden seed."""
+    seed = _seed_pair(seed)
+    kA = jax.random.fold_in(jax.random.PRNGKey(1), seed[0])
+    kH = jax.random.fold_in(jax.random.PRNGKey(2), seed[1])
+    k0, k2 = jax.random.split(kA)
     q = 1.0 - p
-    return tuple(
-        jax.random.bernoulli(k, q, (B,) + shape).astype(jnp.float32) / q
-        for k, shape in zip(ks, ((T, C), (T, H), (T, C)))
-    )
+
+    def mk(k, shape):
+        return jax.random.bernoulli(k, q, (B,) + shape).astype(jnp.float32) / q
+
+    return (mk(k0, (T, C)), mk(kH, (T, H)), mk(k2, (T, C)))
 
 
 def _values_tail_fwd(x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed, p, cdt,
@@ -302,7 +341,7 @@ def _tail_fwd_impl(x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed,
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
-    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.uint32))
+    seed_arr = _seed_pair(seed)
     fn = pl.pallas_call(
         functools.partial(_tail_fwd_kernel, cdt=cdt, p=p, hidden=H,
                           nchunks=sp["NC"], alpha=alpha),
@@ -337,7 +376,7 @@ def _tail_bwd_impl(gout, x, conv, s, ln2s, ln2b, W1, b1, W2, b2, seed,
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
-    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.uint32))
+    seed_arr = _seed_pair(seed)
     f32 = jnp.float32
     out_shapes = [
         jax.ShapeDtypeStruct((B, T, C), f32),   # dx

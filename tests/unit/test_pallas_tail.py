@@ -222,6 +222,60 @@ def test_dropout_cpu_value_path():
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves((gp, gx)))
 
 
+def test_tp_dropout_psum_linearity():
+    """Tensor-parallel dropout exactness (closes round-3 weak #5): with
+    the seed-PAIR scheme, tp shards share the conv/output masks (required
+    — they multiply pre-split/post-sum values) but draw INDEPENDENT
+    hidden masks, and the psum of hidden-sharded tails (alpha=1/tp, b2/tp)
+    equals the unsharded tail under the concatenated full-H hidden mask —
+    i.e. tp>1 dropout is EXACTLY unsharded dropout with independent
+    per-unit draws, no statistical deviation left."""
+    from spectral_tpu.ops.pallas_tail import (
+        _host_masks3,
+        _seed_pair,
+        _tail_forward_values,
+    )
+
+    rng = np.random.default_rng(11)
+    Tt, Ct, Ht = 16, 8, 32
+    h = Ht // 2
+    f32 = jnp.float32
+    x = jnp.asarray(rng.normal(size=(Tt, Ct)).astype(np.float32))
+    conv = jnp.asarray(rng.normal(size=(Tt, Ct)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(1, Ct)).astype(np.float32))
+    ln2s, ln2b = jnp.ones((Ct,), f32), jnp.zeros((Ct,), f32)
+    W1 = jnp.asarray(rng.normal(size=(Ct, Ht)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=(Ht,)).astype(np.float32))
+    W2 = jnp.asarray(rng.normal(size=(Ht, Ct)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=(Ct,)).astype(np.float32))
+    p = 0.4
+
+    # scalar seed normalizes to [s, s]; per-shard pairs share the first
+    assert np.asarray(_seed_pair(jnp.uint32(7))).tolist() == [7, 7]
+    seeds = [jnp.asarray([7, 100 + i], jnp.uint32) for i in range(2)]
+    shard_masks = [_host_masks3(sd, 1, Tt, Ct, h, p) for sd in seeds]
+    np.testing.assert_array_equal(shard_masks[0][0], shard_masks[1][0])
+    np.testing.assert_array_equal(shard_masks[0][2], shard_masks[1][2])
+    assert np.any(np.asarray(shard_masks[0][1]) != np.asarray(shard_masks[1][1]))
+
+    outs = []
+    for i, masks in enumerate(shard_masks):
+        sl = slice(i * h, (i + 1) * h)
+        out, _ = _tail_forward_values(
+            x, conv, s, ln2s, ln2b, W1[:, sl], b1[sl], W2[sl], b2 / 2,
+            f32, tuple(m[0] for m in masks), alpha=0.5)
+        outs.append(out)
+    psum = outs[0] + outs[1]
+
+    full_hidden = jnp.concatenate(
+        [shard_masks[0][1][0], shard_masks[1][1][0]], axis=-1)
+    full_masks = (shard_masks[0][0][0], full_hidden, shard_masks[0][2][0])
+    ref, _ = _tail_forward_values(x, conv, s, ln2s, ln2b, W1, b1, W2, b2,
+                                  f32, full_masks, alpha=1.0)
+    np.testing.assert_allclose(np.asarray(psum), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_trainer_long_seq_descends():
     """make_train_step with the tail route (forced via a >2048 seq would be
     slow on CPU; instead force tail at T=64 through use_fused_block +
