@@ -264,22 +264,13 @@ class FixedSpectralLM(nn.Module):
         else:
             block_cls = FixedSpectralBlock
         extra = {"causal_taps": cfg.causal_taps}
-        sp_size = 1 if self.mesh is None else dict(self.mesh.shape).get("sp", 1)
-        if sp_size > 1 and block_cls is not FixedSpectralBlock:
-            # only the standard block routes its conv through the Ulysses
-            # all-to-all; accepting sp>1 here would silently train the
-            # bicameral/frequency-native variants with NO sequence sharding
-            # (each device seeing a T/sp window as if it were the full
-            # sequence) — fail loudly instead (VERDICT r2, missing #5).
-            # A dp/tp-only mesh is harmless for variants (mesh is consumed
-            # only by the standard block's conv), so it passes through.
-            raise NotImplementedError(
-                f"sequence parallelism (mesh sp>1) is only wired for the "
-                f"standard FixedSpectralBlock; {block_cls.__name__} would "
-                f"silently compute wrong-window convolutions. Run this "
-                f"variant with mesh_sp=1 (dp/tp still available)."
-            )
-        if block_cls is FixedSpectralBlock and self.mesh is not None:
+        # every block class carries its own sp route now (round-4: the
+        # r2/r3 loud-error for variants is gone): the standard block and
+        # the bicameral right hemisphere ride the Ulysses all-to-all conv,
+        # the bicameral left hemisphere a 2-element halo ppermute, and the
+        # frequency-native block the sharded-transform + bin-sharded-FFN
+        # pipeline (parallel/distributed_fft.py).
+        if self.mesh is not None:
             extra["mesh"] = self.mesh
         if block_cls is FixedSpectralBlock and cfg.use_pallas_kernel:
             extra["use_pallas_kernel"] = True

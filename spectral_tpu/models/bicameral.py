@@ -54,6 +54,13 @@ class BicameralBlock(nn.Module):
     # whole freq path is linear-diagonal and causalizable
     # (ops/fftc.causal_filter_taps)
     causal_taps: bool = True
+    # Sequence parallelism (mesh sp>1): the RIGHT hemisphere routes its
+    # causal FFT conv through the Ulysses all-to-all with the per-channel
+    # fused filter (parallel/distributed_fft.py), the LEFT hemisphere's
+    # k=3 depthwise conv through a 2-element halo ppermute; everything
+    # else is positionwise and rides jit's sharding propagation.
+    mesh: Optional[jax.sharding.Mesh] = None
+    sp_axis: str = "sp"
 
     @nn.compact
     def __call__(
@@ -85,7 +92,6 @@ class BicameralBlock(nn.Module):
         n_fft = conv_n_fft(T, self.kernel_len)
         fbins = n_fft // 2 + 1
 
-        x_freq = rfft_time(x, n_fft)
         k_freq = kernel_rfft(kernel_freq, n_fft)
 
         g_freq = jax.nn.sigmoid(gate_freq_logits[:fbins])
@@ -111,10 +117,25 @@ class BicameralBlock(nn.Module):
             budget = (n_fft - T) if length is None else (jnp.int32(n_fft) - length)
             h_eff = causal_filter_taps(h_eff, n_fft, budget)
 
-        y_freq = x_freq * h_eff[None]
-        y_freq = y_freq * (gain_freq[None, :] * g_ctx)[:, None, :]
+        use_sp = self.mesh is not None and dict(self.mesh.shape).get(self.sp_axis, 1) > 1
+        scale_freq = (gain_freq[None, :] * g_ctx)[:, None, :]  # real, commutes with irfft
+        if use_sp:
+            # Ulysses all-to-all conv with the PER-CHANNEL fused filter
+            # (PhaseShift makes h_eff [F, C]); the real per-channel scale
+            # is applied to the time-domain output (diagonal ops commute)
+            from spectral_tpu.parallel.distributed_fft import (
+                sequence_sharded_spectral_conv,
+            )
 
-        y_spectral = irfft_time(y_freq, n_fft, T)  # [B, T, C]
+            y_spectral = sequence_sharded_spectral_conv(
+                x, h_eff, self.mesh, axis=self.sp_axis, n_fft=n_fft
+            ) * scale_freq
+        else:
+            # unsharded: scale applied in the freq domain (bit-identical to
+            # the original path; mathematically the same as scaling after)
+            x_freq = rfft_time(x, n_fft)
+            y_freq = x_freq * h_eff[None] * scale_freq
+            y_spectral = irfft_time(y_freq, n_fft, T)  # [B, T, C]
 
         # ============================================================
         # LEFT BRAIN: time path (no cutoff — always full resolution)
@@ -124,15 +145,24 @@ class BicameralBlock(nn.Module):
 
         # reference: shift right by one (drop last), then conv1d(k=3, pad=1):
         # y[t] = w0*x[t-2] + w1*x[t-1] + w2*x[t]
-        x_shift = jnp.pad(x[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
-        y_time = jax.lax.conv_general_dilated(
-            x_shift,
-            conv_w,
-            window_strides=(1,),
-            padding=[(1, 1)],
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=C,
-        ) + conv_b[None, None, :]
+        if use_sp:
+            from spectral_tpu.parallel.distributed_fft import (
+                sequence_sharded_depthwise_conv3,
+            )
+
+            y_time = sequence_sharded_depthwise_conv3(
+                x, conv_w, conv_b, self.mesh, axis=self.sp_axis
+            )
+        else:
+            x_shift = jnp.pad(x[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
+            y_time = jax.lax.conv_general_dilated(
+                x_shift,
+                conv_w,
+                window_strides=(1,),
+                padding=[(1, 1)],
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                feature_group_count=C,
+            ) + conv_b[None, None, :]
 
         g_time = jax.nn.sigmoid(
             nn.Dense(C, kernel_init=nn.initializers.zeros, bias_init=_gate_bias_init, name="gate_time")(pooled)

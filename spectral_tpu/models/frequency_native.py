@@ -47,6 +47,16 @@ def _polar(mag: jax.Array, phase: jax.Array) -> jax.Array:
     return jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
 
 
+def _pad_bins(p: jax.Array, fbins: int) -> jax.Array:
+    """Slice (or zero-pad) a bin-indexed param to ``fbins`` rows.  Padding
+    only occurs on the sp path, where the spectrum's bin axis is padded to
+    divide the mesh — padded bins are dropped before the inverse
+    transform, so their (garbage) values never reach the output."""
+    if fbins <= p.shape[0]:
+        return p[:fbins]
+    return jnp.pad(p, ((0, fbins - p.shape[0]),) + ((0, 0),) * (p.ndim - 1))
+
+
 class PhaseShift(nn.Module):
     """Frequency-native "nonlinearity": learned per-(bin, channel) phase
     rotation.  Despite the reference's framing it is a LINEAR map — a
@@ -66,8 +76,8 @@ class PhaseShift(nn.Module):
 
     def multiplier(self, fbins: int) -> jax.Array:
         """The [fbins, C] complex constant this module multiplies by."""
-        rotation = jnp.tanh(self.phase_weights[:fbins]) * math.pi
-        mag_scale = 1.0 + 0.1 * jnp.tanh(self.magnitude_logits[:fbins])
+        rotation = jnp.tanh(_pad_bins(self.phase_weights, fbins)) * math.pi
+        mag_scale = 1.0 + 0.1 * jnp.tanh(_pad_bins(self.magnitude_logits, fbins))
         return _polar(mag_scale, rotation)
 
     def __call__(self, z_freq: jax.Array) -> jax.Array:
@@ -96,7 +106,8 @@ class SpectralLayerNorm(nn.Module):
         mean = jnp.mean(magnitude, axis=-1, keepdims=True)
         var = jnp.var(magnitude, axis=-1, keepdims=True)
         mag_norm = (magnitude - mean) / jnp.sqrt(var + self.eps)
-        mag_scaled = mag_norm * gamma[None, :fbins] + beta[None, :fbins]
+        mag_scaled = (mag_norm * _pad_bins(gamma, fbins)[None]
+                      + _pad_bins(beta, fbins)[None])
         return _polar(mag_scaled, phase)
 
 
@@ -153,6 +164,17 @@ class FrequencyNativeBlock(nn.Module):
     # non-causal BY THE REFERENCE'S DESIGN — only the linear conv chain is
     # causalized here.
     causal_taps: bool = True
+    # Sequence parallelism (mesh sp>1): the spectrum is produced
+    # CHANNEL-sharded by one Ulysses all-to-all + local matmul-rfft
+    # (parallel/distributed_fft.sharded_rfft_channel), the diagonal conv
+    # runs channel-sharded, then a sharding CONSTRAINT re-shards to
+    # BIN-sharded for the per-bin SpectralFFN (XLA partitions its
+    # channel-contracting Dense/LN collective-free — every op is batched
+    # over bins), and the inverse transform restores time sharding.  One
+    # fused pipeline: the conv and the in-spectrum FFN share a single
+    # forward/inverse transform pair.
+    mesh: Optional[jax.sharding.Mesh] = None
+    sp_axis: str = "sp"
 
     @nn.compact
     def __call__(
@@ -181,7 +203,6 @@ class FrequencyNativeBlock(nn.Module):
         n_fft = conv_n_fft(T, self.kernel_len)
         fbins = n_fft // 2 + 1
 
-        x_freq = rfft_time(x, n_fft)
         k_freq = kernel_rfft(kernel, n_fft)
 
         g_freq = jax.nn.sigmoid(gate_freq_logits[:fbins])
@@ -199,14 +220,55 @@ class FrequencyNativeBlock(nn.Module):
             budget = (n_fft - T) if length is None else (jnp.int32(n_fft) - length)
             k_eff = causal_filter_taps(k_eff, n_fft, budget)
 
-        y_freq = frequency_conv(x_freq, k_eff, gain)
-        y_freq = y_freq * g_ctx[:, None, :]
-
-        # Frequency-native FFN residual — stays complex, no time roundtrip.
         ffn = SpectralFFN(C, max_freq_bins, expansion=2, dropout=self.dropout, name="ffn")
-        y_freq = y_freq + ffn(y_freq, deterministic=deterministic)
+        use_sp = self.mesh is not None and dict(self.mesh.shape).get(self.sp_axis, 1) > 1
+        if use_sp:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        y = irfft_time(y_freq, n_fft, T)
+            from spectral_tpu.parallel.distributed_fft import (
+                sharded_irfft_time,
+                sharded_rfft_channel,
+            )
+
+            zr, zi = sharded_rfft_channel(x, self.mesh, axis=self.sp_axis, n_fft=n_fft)
+            z = jax.lax.complex(zr, zi)
+            # the SAME custom-vjp conv as the unsharded branch (elementwise
+            # — sharding propagates through it): its hand-rolled gain
+            # gradient reproduces the reference's FrequencyConvFunc rule,
+            # which deviates from the true adjoint (ops/wirtinger.py) —
+            # a plain multiply here would silently train gain differently
+            # under sp (sharded==unsharded grad parity pins this)
+            z = frequency_conv(z, k_eff, gain)
+            z = z * g_ctx[:, None, :]
+            batch_ax = "dp" if "dp" in self.mesh.axis_names else None
+            bin_s = NamedSharding(self.mesh, P(batch_ax, self.sp_axis, None))
+            chan_s = NamedSharding(self.mesh, P(batch_ax, None, self.sp_axis))
+            # the odd bin count (2^k + 1) must divide the sp axis for the
+            # bin-sharded constraint: zero-pad the spectrum (the bin-indexed
+            # FFN params pad via _pad_bins; padded bins are sliced off
+            # before the inverse transform, so their values never land)
+            nsp = dict(self.mesh.shape)[self.sp_axis]
+            f_pad = ((fbins + nsp - 1) // nsp) * nsp
+            z = jnp.pad(z, ((0, 0), (0, f_pad - fbins), (0, 0)))
+            # re-shard bins<->channels around the per-bin FFN (XLA lowers
+            # the constraint moves to all-to-alls; the FFN itself then
+            # partitions collective-free — Dense contracts the replicated
+            # channel axis, batched over the sharded bins)
+            z = jax.lax.with_sharding_constraint(z, bin_s)
+            z = z + ffn(z, deterministic=deterministic)
+            z = jax.lax.with_sharding_constraint(z, chan_s)
+            z = z[:, :fbins]
+            y = sharded_irfft_time(jnp.real(z), jnp.imag(z), self.mesh,
+                                   axis=self.sp_axis, n_fft=n_fft, T=T)
+        else:
+            x_freq = rfft_time(x, n_fft)
+            y_freq = frequency_conv(x_freq, k_eff, gain)
+            y_freq = y_freq * g_ctx[:, None, :]
+
+            # Frequency-native FFN residual — stays complex, no time roundtrip.
+            y_freq = y_freq + ffn(y_freq, deterministic=deterministic)
+
+            y = irfft_time(y_freq, n_fft, T)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return residual + y
 

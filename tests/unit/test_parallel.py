@@ -503,28 +503,78 @@ class TestProfiling:
             assert_roofline(r, min_fraction=10.0)
 
 
-class TestSPVariantGuard:
-    """mesh+sp with a non-standard block must fail LOUDLY (VERDICT r2 #5),
-    never silently train wrong-window convolutions."""
+class TestSPVariants:
+    """Round-4 (VERDICT r3 #5): the bicameral and frequency-native block
+    variants run UNDER sp through their own sharded routes — sharded ==
+    unsharded parity for values and grads.  Replaces the r2/r3 loud-error
+    guard (models/backbone.py no longer raises for variants + sp)."""
 
-    def _init_with_mesh(self, **cfg_kw):
+    def _pair(self, **cfg_kw):
         from spectral_tpu.models.backbone import FixedSpectralLM
         from spectral_tpu.models.config import TrainConfig
 
         cfg = TrainConfig(
-            d_model=64, n_layers=1, seq_len=64, kernel_len=16, jpeg_transition=8,
-            dropout=0.0, **cfg_kw,
+            d_model=64, n_layers=2, seq_len=64, kernel_len=16,
+            jpeg_transition=8, dropout=0.0, **cfg_kw,
         )
-        mesh = make_mesh(8)
-        model = FixedSpectralLM(cfg, mesh=mesh)
-        x = jnp.zeros((2, 64), jnp.int32)
+        mesh = make_mesh(dp=2, sp=4, tp=1)
+        return FixedSpectralLM(cfg), FixedSpectralLM(cfg, mesh=mesh), mesh
+
+    @pytest.mark.parametrize("variant", ["bicameral", "frequency_native"])
+    def test_variant_sp_forward_matches_unsharded(self, variant):
+        m_pl, m_sp, mesh = self._pair(**{variant: True})
+        x = jnp.asarray(np.random.default_rng(0).integers(0, 256, (4, 64)).astype(np.int32))
+        params = m_pl.init(jax.random.PRNGKey(0), x)["params"]
+        y_pl = m_pl.apply({"params": params}, x, cutoff=jnp.int32(24))
         with mesh:
-            model.init(jax.random.PRNGKey(0), x)
+            y_sp = jax.jit(lambda p, x_: m_sp.apply(
+                {"params": p}, x_, cutoff=jnp.int32(24)))(params, x)
+        np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_pl),
+                                   rtol=2e-4, atol=2e-4)
 
-    def test_bicameral_with_mesh_raises(self):
-        with pytest.raises(NotImplementedError, match="sequence parallelism"):
-            self._init_with_mesh(bicameral=True)
+    @pytest.mark.parametrize("variant", ["bicameral", "frequency_native"])
+    def test_variant_sp_grads_match_unsharded(self, variant):
+        m_pl, m_sp, mesh = self._pair(**{variant: True})
+        x = jnp.asarray(np.random.default_rng(1).integers(0, 256, (4, 64)).astype(np.int32))
+        params = m_pl.init(jax.random.PRNGKey(0), x)["params"]
 
-    def test_frequency_native_with_mesh_raises(self):
-        with pytest.raises(NotImplementedError, match="sequence parallelism"):
-            self._init_with_mesh(frequency_native=True)
+        def loss(m):
+            return lambda p: jnp.sum(
+                m.apply({"params": p}, x, cutoff=jnp.int32(24)) ** 2)
+
+        g_pl = jax.jit(jax.grad(loss(m_pl)))(params)
+        with mesh:
+            g_sp = jax.jit(jax.grad(loss(m_sp)))(params)
+        for a, b in zip(jax.tree.leaves(g_sp), jax.tree.leaves(g_pl)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)
+
+    @pytest.mark.parametrize("variant", ["bicameral", "frequency_native"])
+    def test_variant_sp_train_step_runs_finite(self, variant):
+        """End-to-end sharded train step for each variant under the full
+        dp=2 x sp=2 x tp=2 mesh (the flax mesh mode)."""
+        from spectral_tpu.models.backbone import FixedSpectralLM
+        from spectral_tpu.models.config import TrainConfig
+        from spectral_tpu.parallel.sharded_train import make_sharded_train_step
+        from spectral_tpu.train.trainer import make_optimizer
+
+        cfg = TrainConfig(
+            d_model=64, n_layers=2, seq_len=64, kernel_len=16,
+            jpeg_transition=8, batch_size=4, accum_steps=2, dropout=0.1,
+            **{variant: True},
+        )
+        mesh = make_mesh(dp=2, sp=2, tp=2)
+        model = FixedSpectralLM(cfg, mesh=mesh)
+        rng = np.random.default_rng(0)
+        x0 = jnp.zeros((cfg.batch_size, cfg.seq_len), jnp.int32)
+        with mesh:
+            params = model.init(jax.random.PRNGKey(0), x0)["params"]
+            tx = make_optimizer(cfg)
+            p = shard_params(params, mesh)
+            opt = tx.init(p)
+            step, opt = make_sharded_train_step(model, cfg, tx, mesh)(p, opt)
+            bx = jnp.asarray(rng.integers(0, 256, (2, 4, 64)).astype(np.int32))
+            by = jnp.asarray(rng.integers(0, 256, (2, 4, 64)).astype(np.int32))
+            p, _, loss = step(p, opt, bx, by, jnp.int32(24),
+                              jnp.float32(1e-3), jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
