@@ -48,7 +48,7 @@ class OverlapSaveBatch:
     """
 
     def __init__(self, params: dict, cfg: TrainConfig,
-                 buf_dtype: str = "float32"):
+                 buf_dtype: str = "float32", prefill_backend: str = "auto"):
         self.params = jax.tree.map(jnp.asarray, params)
         self.cfg = cfg
         self.n_layers = cfg.n_layers
@@ -56,6 +56,17 @@ class OverlapSaveBatch:
         self.kernel_len = cfg.kernel_len
         self.causal_taps = getattr(cfg, "causal_taps", True)
         self.n_fft = conv_n_fft(cfg.seq_len, cfg.kernel_len)
+        # Serving is PREFILL-bound (experiments/profile_decode): route the
+        # init forward through the fused Pallas block kernels on TPU
+        # ("auto"); the per-block pre-norm buffers the decode scan needs
+        # are recovered by recomputing LN1 from each block's input —
+        # positionwise, cheap (VERDICT r3 next #2).  "flax" forces the
+        # original jnp.fft prefill; "fused" forces the kernel route
+        # (interpret mode off-TPU — parity tests).
+        if prefill_backend not in ("auto", "fused", "flax"):
+            raise ValueError(f"prefill_backend={prefill_backend!r}")
+        self.prefill_backend = prefill_backend
+        self._fused_prefill = self._pick_fused_prefill(prefill_backend)
         # "bfloat16" stores the [N, T, C] windows in bf16 (fp32
         # accumulation in the tap-dot, everything downstream fp32) at
         # default-matmul-precision error class.  Chip A/B (experiments/
@@ -110,13 +121,56 @@ class OverlapSaveBatch:
         y = jnp.fft.irfft(y_freq, n=n_fft, axis=1)[:, :T, :]
         return _ffn(bp["ffn"], h + y), ln_in
 
+    def _pick_fused_prefill(self, backend: str) -> bool:
+        """Decide ONCE (jit-external) whether the init forward runs the
+        fused kernels.  "auto" requires a real TPU (interpret mode would be
+        slower than the jnp path), a Mosaic-aligned width, and a fused
+        route covering (T, C, H)."""
+        if backend == "flax":
+            return False
+        from spectral_tpu.models.fused_apply import fused_path_for
+
+        C = self.cfg.d_model
+        H = self.params["block_0"]["ffn"]["ffn_in"]["kernel"].shape[1]
+        covered = fused_path_for(self.T, C, H) is not None
+        if backend == "fused":
+            return covered
+        return (covered and jax.default_backend() == "tpu"
+                and C % 128 == 0 and self.T % 8 == 0)
+
     def _init_impl(self, params, x_ids):
         """x_ids [N, T] -> (bufs, ptr, logits).  Buffer slot j holds
         window position j; the next write overwrites slot 0 (the oldest)."""
         h = params["embed"]["embedding"][x_ids]
         bufs = []
         for i in range(self.n_layers):
-            h, ln_in = self._block_full(params[f"block_{i}"], h)
+            bp = params[f"block_{i}"]
+            if self._fused_prefill:
+                # fused route: ONE Pallas program per block (seq<=2048: the
+                # whole-block kernel; longer: conv + fused tail) instead of
+                # ~15 XLA fusions; the decode scan's pre-norm buffer is
+                # LN1(h), recomputed here positionwise.  fp32 in-kernel
+                # dots (Mosaic accurate mode) — prefill parity gate:
+                # tests/unit/test_streaming.py::test_fused_prefill_*.
+                from spectral_tpu.models.fused_apply import (
+                    fused_block_apply,
+                    fused_block_apply_tail,
+                    fused_path_for,
+                )
+
+                ln_in = _layernorm(h, bp["ln"]["scale"], bp["ln"]["bias"])
+                C = h.shape[-1]
+                H = bp["ffn"]["ffn_in"]["kernel"].shape[1]
+                kw = dict(kernel_len=self.kernel_len,
+                          transition_bins=self.cfg.jpeg_transition,
+                          deterministic=True, causal_taps=self.causal_taps,
+                          compute_dtype="float32")
+                if fused_path_for(self.T, C, H) == "block":
+                    h = fused_block_apply(bp, h, None, **kw)
+                else:
+                    h = fused_block_apply_tail(bp, h, None, **kw)
+            else:
+                h, ln_in = self._block_full(bp, h)
             bufs.append(ln_in.astype(self.buf_dtype))
         h = _layernorm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
         h_last = h[:, -1, :]

@@ -314,6 +314,36 @@ class TestOverlapSaveBatch:
         ref = np.asarray(model.apply({"params": params}, jnp.asarray(ids), deterministic=True))
         np.testing.assert_allclose(np.asarray(logits), ref[:, -1, :], rtol=1e-4, atol=1e-4)
 
+    def test_fused_prefill_matches_flax_prefill(self):
+        """Round-4 (VERDICT r3 next #2): the fused-kernel prefill route must
+        produce the same per-block pre-norm buffers AND logits as the flax
+        jnp.fft prefill (interpret mode, fp32) — serving is prefill-bound
+        and the init forward is where the time goes."""
+        from spectral_tpu.streaming.overlap_save_batch import OverlapSaveBatch
+
+        cfg, model, params = self._setup(open_freq_gate=False, active_ctx_gate=True)
+        rng = np.random.default_rng(21)
+        ids = rng.integers(0, 256, (3, cfg.seq_len)).astype(np.int32)
+
+        flax_dec = OverlapSaveBatch(params, cfg, prefill_backend="flax")
+        fused_dec = OverlapSaveBatch(params, cfg, prefill_backend="fused")
+        assert fused_dec._fused_prefill and not flax_dec._fused_prefill
+        (bufs_f, ptr_f), logits_f = flax_dec.init_state(ids)
+        (bufs_k, ptr_k), logits_k = fused_dec.init_state(ids)
+        for i, (a, b) in enumerate(zip(bufs_k, bufs_f)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"layer {i} pre-norm buffer")
+        np.testing.assert_allclose(np.asarray(logits_k), np.asarray(logits_f),
+                                   rtol=1e-4, atol=1e-4)
+
+        # decode continues identically from either prefill
+        nxt = np.asarray([65, 66, 67], np.int32)
+        _, lf = flax_dec.next_logits((bufs_f, ptr_f), nxt)
+        _, lk = fused_dec.next_logits((bufs_k, ptr_k), nxt)
+        np.testing.assert_allclose(np.asarray(lk), np.asarray(lf),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_token_steps_match_single_stream_chunk1(self):
         """Trained-like gates, multi-layer: the batched tap-dot decoder and
         the single-stream full-window-FFT decoder are the SAME algorithm —
