@@ -33,6 +33,12 @@ def main(argv=None) -> None:
     apply_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ckpt", default="fixed_spectral_ckpt.msgpack")
+    ap.add_argument("--fp32", action="store_true",
+                    help="force the fp32 artifact: serving DEFAULTS to a "
+                         ".q8.msgpack sibling of --ckpt when one exists "
+                         "(log8 quantization is eval-neutral and 11.9x "
+                         "smaller — BENCHMARKS.md; reference quantizer: "
+                         "fft_tensor/zero_materialize.py:455-568)")
     ap.add_argument("--prompt", default="Once upon a time")
     ap.add_argument("--prompts-file", default=None,
                     help="file with one prompt per line (overrides --prompt/--streams)")
@@ -61,7 +67,17 @@ def main(argv=None) -> None:
     from spectral_tpu.train.ckpt import load_checkpoint
     from spectral_tpu.train.sampling import safe_console
 
-    ck = load_checkpoint(args.ckpt)
+    import os
+
+    ckpt_path = args.ckpt
+    if not args.fp32 and not ckpt_path.endswith(".q8.msgpack"):
+        q8 = os.path.splitext(ckpt_path)[0] + ".q8.msgpack"
+        if os.path.exists(q8):
+            print(f"[serve] q8 artifact found — serving {q8} "
+                  f"(pass --fp32 for the fp32 original)", flush=True)
+            ckpt_path = q8
+
+    ck = load_checkpoint(ckpt_path)
     cfg = TrainConfig.from_dict(ck.get("cfg", {}))
     cfg = cfg.replace(temperature=args.temperature, top_p=args.top_p,
                       repetition_penalty=args.rep, dropout=0.0)
