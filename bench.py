@@ -121,6 +121,9 @@ def bench_spectral_mix_hbm(
 
     from spectral_tpu.layers.spectral_layers import SpectralMixingLayer
 
+    if backend == "bandlimited_stream":
+        return _bench_stream_hbm_pooled(seq, batch, dim, iters, pool)
+
     layer = SpectralMixingLayer(embed_dim=dim, fft_backend=backend)
     x0 = jax.random.normal(jax.random.PRNGKey(0), (batch, seq, dim), jnp.float32)
     params = layer.init(jax.random.PRNGKey(1), x0)
@@ -169,6 +172,72 @@ def bench_spectral_mix_hbm(
 
     dt = max(timed(n_big) - timed(1), 1e-9) / (n_big - 1)
     bytes_per_iter = 2 * batch * seq * dim * 4  # guaranteed read + write
+    return batch * seq / dt, dt, bytes_per_iter / dt / 1e9
+
+
+def _bench_stream_hbm_pooled(seq, batch, dim, iters, pool):
+    """TRUE-HBM harness for the streamed Pallas kernel: the pool is fed
+    THROUGH the kernel's scalar-prefetch index map rather than an XLA
+    dynamic_slice.
+
+    Why this branch exists: XLA fuses a dynamic_slice/dynamic_update_slice
+    into its own einsum fusions (in-place pool update, no extra traffic),
+    but around an OPAQUE pallas_call those same ops materialize ~2x the
+    payload in phantom HBM copies (chip-measured: a pure-copy kernel timed
+    341 us behind XLA slices vs 100 us pooled at the headline shape).  The
+    pooled entry preserves the harness guarantee — every iteration reads a
+    distinct >VMEM pool entry and writes a fresh >VMEM output — which is
+    also how the kernel runs in real training (its operand IS the
+    producer's buffer).  Weights = the layer's init values (ones/zeros —
+    parity with the layer path is gated in test_pallas_bandlimited.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from spectral_tpu.ops import matfft
+    from spectral_tpu.ops.pallas_bandlimited import bandlimited_mix_stream_pooled
+
+    k = min(dim // 2, seq // 2)
+    s = 1.0 / seq
+    wr = jnp.full((k, dim), s, jnp.float32)
+    wi = jnp.zeros((k, dim), jnp.float32)
+    bias = jnp.zeros((dim,), jnp.float32)
+    cdt = ("float32" if matfft._PRECISION == jax.lax.Precision.HIGHEST
+           else "bfloat16")
+
+    keys = jax.random.split(jax.random.PRNGKey(2), pool)
+    xpool = jnp.stack(
+        [jax.random.normal(kk, (batch, seq, dim), jnp.float32) for kk in keys])
+
+    def loop(xpool, n):
+        def body(i, acc):
+            slot = jnp.reshape(i % pool, (1,)).astype(jnp.int32)
+            y = bandlimited_mix_stream_pooled(xpool, slot, wr, wi, bias, cdt)
+            # consume ONE element: forces the call (and its full y write)
+            # without an XLA re-read of the 33.5 MB output
+            return acc + y[0, 0, 0]
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    run = jax.jit(loop, static_argnums=1)
+    n_big = iters * 20
+    xwarm = xpool + 1.0
+    float(run(xwarm, 1))
+    float(run(xwarm, n_big))
+    pools = [xpool, xpool[::-1]]
+    for pl_ in pools:
+        jax.block_until_ready(pl_)
+
+    def timed(n, reps=2):
+        best = float("inf")
+        for r in range(reps):
+            t0 = time.perf_counter()
+            float(run(pools[(n + r) % len(pools)], n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = max(timed(n_big) - timed(1), 1e-9) / (n_big - 1)
+    bytes_per_iter = 2 * batch * seq * dim * 4
     return batch * seq / dt, dt, bytes_per_iter / dt / 1e9
 
 
@@ -268,7 +337,8 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--seq", type=int, default=4096)
     ap.add_argument(
-        "--backend", default=None, choices=["xla", "matmul", "pallas", "bandlimited"]
+        "--backend", default=None,
+        choices=["xla", "matmul", "pallas", "bandlimited", "bandlimited_stream"],
     )
     ap.add_argument(
         "--fft-precision",
@@ -306,10 +376,12 @@ def main() -> None:
     if backend is None:
         # the band-limited projection is the fastest seq-4k path on TPU —
         # the layer ZEROES bins >= num_filters by contract, so the whole op
-        # is two (T, k) MXU matmuls around the filter (0.29 ms fp32-accurate
-        # / 0.06 ms bf16 vs 0.46 Pallas full-spectrum vs 1.76 XLA fft —
-        # BENCHMARKS.md round 2).  On CPU/GPU the native FFT wins.
-        backend = "bandlimited" if jax.default_backend() == "tpu" else "xla"
+        # is two (T, k) MXU matmuls around the filter.  Round 4: the
+        # STREAMED two-phase Pallas kernel (ops/pallas_bandlimited.py)
+        # beats the XLA einsum fusion under the TRUE-HBM harness — 0.80 of
+        # the roofline bf16 / 0.52 fp32-accurate vs 0.61 / 0.235
+        # (BENCHMARKS.md round 4).  On CPU/GPU the native FFT wins.
+        backend = "bandlimited_stream" if jax.default_backend() == "tpu" else "xla"
 
     from spectral_tpu.ops import matfft
 

@@ -80,6 +80,8 @@ class SpectralMixingLayer(nn.Module):
             return self._pallas_forward(x, deterministic)
         if self.fft_backend == "bandlimited":
             return self._bandlimited_forward(x, deterministic)
+        if self.fft_backend == "bandlimited_stream":
+            return self._bandlimited_stream_forward(x, deterministic)
 
         x_freq = jnp.fft.fft(x.astype(jnp.float32), axis=1)  # [B, T, D] complex64
 
@@ -211,6 +213,33 @@ class SpectralMixingLayer(nn.Module):
         s = jnp.full((k,), 1.0 / T, jnp.float32)[None, :, None]
         y = mm("bkc,tk->btc", yr * s, tc) - mm("bkc,tk->btc", yi * s, ts)
         y = y.astype(x.dtype) + bias
+        return nn.Dropout(self.dropout)(y, deterministic=deterministic)
+
+    def _bandlimited_stream_forward(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        """The STREAMED rank-k projection kernel (round 4): double-buffered
+        HBM<->VMEM panel pipeline, ops/pallas_bandlimited.bandlimited_mix_stream.
+        Same algebra/params as ``bandlimited``; compute dtype follows
+        ops.matfft.set_precision (HIGHEST -> fp32 multi-pass in-kernel dots,
+        DEFAULT -> bf16 fast mode)."""
+        from spectral_tpu.ops import matfft
+        from spectral_tpu.ops.pallas_bandlimited import bandlimited_mix_stream
+
+        B, T, D = x.shape
+        if not self.learnable:
+            return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        nf = self.n_filters
+        w_real = self.param("weight_real", nn.initializers.ones, (D, nf))
+        w_imag = self.param("weight_imag", nn.initializers.zeros, (D, nf))
+        bias = self.param("bias", nn.initializers.zeros, (D,))
+        k = min(nf, T // 2)
+        s = 1.0 / T  # reconstruction scale folded into the filter
+        wr = w_real[:, :k].T * s  # (k, D)
+        wi = w_imag[:, :k].T * s
+        cdt = ("float32" if matfft._PRECISION == jax.lax.Precision.HIGHEST
+               else "bfloat16")
+        y = bandlimited_mix_stream(x.astype(jnp.float32), wr, wi, bias, cdt)
+        y = y.astype(x.dtype)
         return nn.Dropout(self.dropout)(y, deterministic=deterministic)
 
     def _pallas_forward(self, x: jax.Array, deterministic: bool) -> jax.Array:

@@ -50,6 +50,78 @@ def test_gradient_parity():
         )
 
 
+def test_stream_forward_parity():
+    """Round-4 streamed kernel (double-buffered panel pipeline): values
+    match the einsum oracle at fp32, including a chunk that divides T
+    unevenly against the 512 default (auto-shrunk)."""
+    from spectral_tpu.ops.pallas_bandlimited import bandlimited_mix_stream
+
+    x, wr, wi, bias = _setup()
+    ref = bandlimited_mix_reference(x, wr, wi, bias)
+    out = bandlimited_mix_stream(x, wr, wi, bias, "float32", 512, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    out32 = bandlimited_mix_stream(x, wr, wi, bias, "float32", 32, True)
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_stream_gradient_parity():
+    """Backward parity under an IDENTICAL cotangent: the stream forward is
+    split-mantissa (~1e-5 relative), so grad-of-loss comparisons would
+    measure forward rounding amplified through the loss; the vjp itself
+    (the whole-panel HIGHEST bwd kernel) must match the reference vjp
+    tightly."""
+    from spectral_tpu.ops.pallas_bandlimited import bandlimited_mix_stream
+
+    x, wr, wi, bias = _setup()
+    g = jnp.asarray(
+        np.random.default_rng(7).normal(size=(B, T, D)).astype(np.float32))
+
+    _, vjp_k = jax.vjp(
+        lambda *a: bandlimited_mix_stream(*a, "float32", 32, True),
+        x, wr, wi, bias)
+    _, vjp_r = jax.vjp(bandlimited_mix_reference, x, wr, wi, bias)
+    for name, a, b in zip(("dx", "dwr", "dwi", "db"), vjp_k(g), vjp_r(g)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-4, err_msg=name
+        )
+
+
+def test_stream_pooled_entry_selects_slot():
+    """The TRUE-HBM harness entry: pool slot s must equal the plain entry
+    on pool[s], both precisions (the pooled path is what bench.py times)."""
+    from spectral_tpu.ops.pallas_bandlimited import (
+        bandlimited_mix_stream,
+        bandlimited_mix_stream_pooled,
+    )
+
+    x, wr, wi, bias = _setup()
+    pool = jnp.stack([x, x * 0.5 + 1.0, -x])
+    for cdt, tol in (("float32", 1e-5), ("bfloat16", 5e-2)):
+        for s in (0, 2):
+            got = bandlimited_mix_stream_pooled(
+                pool, jnp.asarray([s], jnp.int32), wr, wi, bias, cdt, 32, True)
+            want = bandlimited_mix_stream(pool[s], wr, wi, bias, cdt, 32, True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=tol, atol=tol,
+                err_msg=f"{cdt} slot {s}")
+
+
+def test_stream_layer_backend_matches_bandlimited():
+    """The layer's bandlimited_stream backend == the einsum bandlimited
+    backend (same params, same algebra)."""
+    from spectral_tpu.layers.spectral_layers import SpectralMixingLayer
+
+    layer_s = SpectralMixingLayer(embed_dim=D, num_filters=K,
+                                  fft_backend="bandlimited_stream")
+    layer_e = SpectralMixingLayer(embed_dim=D, num_filters=K,
+                                  fft_backend="bandlimited")
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(B, T, D)).astype(np.float32))
+    params = layer_e.init(jax.random.PRNGKey(0), x)
+    ys = layer_s.apply(params, x)
+    ye = layer_e.apply(params, x)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ye), rtol=2e-5, atol=2e-5)
+
+
 def test_layer_dispatch_unchanged_off_tpu():
     """Off-TPU the layer keeps the einsum path and stays numerically put."""
     from spectral_tpu.layers.spectral_layers import SpectralMixingLayer
