@@ -242,7 +242,8 @@ def _bench_stream_hbm_pooled(seq, batch, dim, iters, pool):
 
 
 def bench_train_step(iters: int = 40, use_pallas: bool = False,
-                     seq_len: int = 1024, accum_steps: int = 8):
+                     seq_len: int = 1024, accum_steps: int = 8,
+                     flatten_accum: str = "auto"):
     """ms/step + tokens/sec of the FULL jitted train step at the flagship
     recipe (reference README.md:384-397: d512 x 6, seq 1024, kernel 128,
     batch 4 x accum 8 = 32768 tokens/optimizer step).
@@ -282,6 +283,7 @@ def bench_train_step(iters: int = 40, use_pallas: bool = False,
         use_fused_block=on_tpu and not use_pallas,
         fft_backend=("direct" if seq_len <= 2048 else "matmul") if (on_tpu and not use_pallas) else "xla",
         compute_dtype="bfloat16" if on_tpu else "float32",
+        flatten_accum=flatten_accum,
     )
     model, params = init_model(cfg)
     tx = make_optimizer(cfg)

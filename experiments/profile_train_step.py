@@ -55,6 +55,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--precision", default="default", choices=["default", "highest"])
+    ap.add_argument("--filter", default=None,
+                    help="only run variants whose name contains this substring "
+                         "(e.g. FUSED for the round-4 attribution set)")
     args = ap.parse_args()
 
     from spectral_tpu.models.config import TrainConfig
@@ -87,8 +90,21 @@ def main():
         batch_size=4, accum_steps=8, fft_backend="matmul",
     )
 
+    # round-4 attribution additions (VERDICT r3 next #3): where do the
+    # default path's 27.5 ms go?  fwd-only isolates backward cost; sgd
+    # isolates the adamw update; flat batch isolates the accum scan; the
+    # 0-layer line isolates embed+logits+loss+opt.
+    fused = {**base, "use_fused_block": True, "compute_dtype": "bfloat16"}
     variants = [
-        ("FUSED whole-block Pallas + bf16", {**base, "use_fused_block": True, "compute_dtype": "bfloat16"}),
+        ("FUSED whole-block Pallas + bf16", dict(fused)),
+        ("FUSED fwd-only (loss, no grad)", {**fused, "_fwd_only": True}),
+        ("FUSED + sgd (adamw cost delta)", {**fused, "_sgd": True}),
+        ("FUSED flat accum=1 batch=32", {**fused, "accum_steps": 1, "batch_size": 32}),
+        # 0 layers: embed+logits+loss+opt only — no blocks, so the fused
+        # dispatch is moot (fused_lm_apply requires >=1 block); flax path
+        # is identical here
+        ("FUSED 0 layers (fixed costs)",
+         {**fused, "n_layers": 0, "use_fused_block": False}),
         ("FUSED whole-block, no dropout", {**base, "use_fused_block": True, "compute_dtype": "bfloat16", "dropout": 0.0}),
         ("full step, DIRECT toeplitz conv (rbg)", {**base, "fft_backend": "direct"}),
         ("full step, DIRECT + bf16 compute", {**base, "fft_backend": "direct", "compute_dtype": "bfloat16"}),
@@ -104,8 +120,47 @@ def main():
     for name, kw in variants:
         if kw is None:
             continue
+        if args.filter and args.filter not in name:
+            continue
+        kw = dict(kw)
+        fwd_only = kw.pop("_fwd_only", False)
+        use_sgd = kw.pop("_sgd", False)
         cfg = TrainConfig(**kw)
         built, key = build(cfg)
+        if use_sgd:
+            import optax
+
+            from spectral_tpu.train.trainer import make_train_step
+
+            _, params, _, bx, by = built
+            model, _ = init_model(cfg)
+            tx = optax.inject_hyperparams(optax.sgd)(learning_rate=2e-4)
+            built = (make_train_step(model, cfg, tx), params,
+                     tx.init(params), bx, by)
+        if fwd_only:
+            # time ONLY the forward+loss of the accum scan: a step that
+            # scans loss_fn over the micro-batches without grads/update
+            from spectral_tpu.models.fused_apply import fused_lm_apply
+            from spectral_tpu.train.evaluate import cross_entropy
+
+            _, params, opt_state, bx, by = built
+
+            def fwd_step(p, o, bx, by, cutoff, lr, rng):
+                def micro(carry, xs):
+                    l_acc, rng = carry
+                    mbx, mby = xs
+                    rng, sub = jax.random.split(rng)
+                    logits = fused_lm_apply(p, mbx, cfg, cutoff=cutoff,
+                                            deterministic=cfg.dropout == 0.0,
+                                            rng=sub)
+                    return (l_acc + cross_entropy(logits, mby), rng), None
+
+                (l, _), _ = jax.lax.scan(micro, (jnp.float32(0), rng), (bx, by))
+                # mutate p trivially so the fori_loop carry never fixes
+                p = jax.tree.map(lambda a: a * (1.0 - 1e-12 * l), p)
+                return p, o, l / bx.shape[0]
+
+            built = (fwd_step, params, opt_state, bx, by)
         dt = timed_step(*built, iters=args.iters, key=key)
         results[name] = dt * 1e3
         print(f"{name:45s} {dt*1e3:7.2f} ms/step", flush=True)

@@ -35,6 +35,18 @@ class TrainConfig:
     # training
     batch_size: int = 8
     accum_steps: int = 1
+    # Fold the accum axis into the batch when the optimizer step fits on
+    # chip WITHOUT gradient accumulation (round-4 attribution: the accum
+    # scan's per-micro grad-tree materialize+add costs 7.5 ms of the
+    # flagship 27.6 ms step; the flat batch runs the same 32768 tokens in
+    # 20.2 ms).  Accumulation is a small-GPU workaround (reference
+    # train_fixed_full.py:34-105 targets a 6 GB card) — on a 16 GB v5e
+    # the flagship step simply fits.  "auto": flatten when
+    # accum*batch*seq <= flatten_accum_max_tokens (chip-validated
+    # region); "never"/"always" force.  Gradients are identical
+    # (mean over the same tokens) — gated by test_trainer.py.
+    flatten_accum: str = "auto"
+    flatten_accum_max_tokens: int = 65536
     epochs: int = 200
     steps_per_epoch: int = 250
     lr: float = 2e-4

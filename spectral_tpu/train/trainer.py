@@ -134,6 +134,19 @@ def make_train_step(model, cfg: TrainConfig, tx) -> Callable:
     def train_step(params, opt_state, bx, by, cutoff, lr, rng):
         accum = bx.shape[0]
 
+        # Fold accum into batch when the flat step fits on chip: one
+        # backward materializes the grad tree ONCE instead of accum
+        # times (+ scan adds) — 27.6 -> 20.2 ms at the flagship recipe.
+        # Identical gradients: the mean over [accum*B, T] equals the
+        # mean of per-micro means at equal micro sizes.
+        flat_ok = (cfg.flatten_accum == "always"
+                   or (cfg.flatten_accum == "auto"
+                       and bx.size <= cfg.flatten_accum_max_tokens))
+        if accum > 1 and flat_ok:
+            bx = bx.reshape(1, accum * bx.shape[1], bx.shape[2])
+            by = by.reshape(1, by.shape[0] * by.shape[1], by.shape[2])
+            accum = 1
+
         def micro(carry, xs):
             g_acc, l_acc, rng = carry
             mbx, mby = xs
