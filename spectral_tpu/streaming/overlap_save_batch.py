@@ -258,10 +258,11 @@ def overlap_save_generate_batch(
     # the init forward already consumes every prompt byte (the window holds
     # them all); the first sampled byte continues from the last prompt byte
     state, logits0 = decoder.init_state(padded)
-    states = jax.tree.map(
-        lambda *leaves: jnp.stack(leaves),
-        *[sampler.init_state(e) for e in encs],
-    )
+    # ONE host->device transfer per sampler-state leaf (the per-prompt
+    # init_state loop paid ~6 tiny RTT-bound transfers per stream: ~300 ms
+    # of the B=32 fleet's fixed cost on the tunneled chip — round-4
+    # attribution, BENCHMARKS.md "exact fleet fixed-cost")
+    states = sampler.init_state_batch(encs)
 
     cache = getattr(decoder, "_gen_batch_cache", None)
     if cache is None:
