@@ -121,13 +121,21 @@ def run_once(params, cfg, reqs, *, slots, policy, rate_hz, seed,
 
 def calibrate_rate(params, cfg, reqs, *, slots, frac):
     """Drain a closed-loop batch (all requests pre-submitted) to measure
-    capacity; open-loop rate = frac * completed/sec."""
+    capacity; open-loop rate = frac * completed/sec.
+
+    The drain runs TWICE: the first pass eats the per-scan-length jit
+    compiles (minutes each on the tunneled chip — timing it deflated
+    capacity ~100x and the open-loop runs then mostly slept), the second
+    measures warm capacity, which is what the Poisson runs (warm, same
+    bucket set) actually operate at."""
     from spectral_tpu.streaming.engine import Request, ServingEngine
 
     sub = reqs[: max(2 * slots, 64)]
+    batch = [Request(prompt=p, max_new=m, seed=s) for p, m, s in sub]
+    ServingEngine(params, cfg, slots=slots).run(batch)  # compile warmup
     eng = ServingEngine(params, cfg, slots=slots)
     t0 = time.perf_counter()
-    eng.run([Request(prompt=p, max_new=m, seed=s) for p, m, s in sub])
+    eng.run(batch)
     dt = time.perf_counter() - t0
     cap = len(sub) / dt
     return frac * cap, cap

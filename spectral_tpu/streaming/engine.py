@@ -77,6 +77,10 @@ from spectral_tpu.models.config import TrainConfig
 from spectral_tpu.streaming.fir import DeviceSampler
 from spectral_tpu.streaming.overlap_save_batch import OverlapSaveBatch
 
+# (cfg, slots, chunk, buf_dtype, mesh) -> {"admit": fn, "decode": {len: fn}}
+# shared across ServingEngine instances — see __init__
+_SHARED_JITS: dict = {}
+
 
 @dataclass
 class Request:
@@ -147,8 +151,23 @@ class ServingEngine:
             self._param_sharding = NamedSharding(mesh, PartitionSpec())
             self.dec.params = jax.device_put(self.dec.params, self._param_sharding)
             self.dec.taps_list = jax.device_put(self.dec.taps_list, self._param_sharding)
-        self._admit_fn = jax.jit(self._admit_impl, donate_argnums=(0, 1, 2, 3))
-        self._decode_fns: dict[int, object] = {}  # scan length -> jitted fn
+        # Jitted programs shared ACROSS engine instances with the same
+        # (cfg, slots, chunk, buf_dtype, sharding): per-instance jax.jit
+        # wrappers re-trace + re-compile every scan-length/admit variant —
+        # on the tunneled chip that measured 3-23 s per "step" in any
+        # workflow constructing engines repeatedly (one per benchmark rep,
+        # one per serve_fleet invocation...).  The impls take params and
+        # taps as arguments, so the shared trace has no instance state.
+        jkey = (tuple(sorted(cfg.to_dict().items())), self.slots, self.chunk,
+                str(self.dec.buf_dtype),
+                None if mesh is None else id(mesh))
+        progs = _SHARED_JITS.setdefault(jkey, {})
+        if "admit" not in progs:
+            progs["admit"] = jax.jit(self._admit_impl,
+                                     donate_argnums=(0, 1, 2, 3))
+            progs["decode"] = {}
+        self._admit_fn = progs["admit"]
+        self._decode_fns: dict[int, object] = progs["decode"]  # length -> fn
         # continuous-admission state (created lazily by start()/submit())
         self._started = False
         self._next_id = 0
@@ -188,11 +207,13 @@ class ServingEngine:
         keys = keys.at[slots_arr].set(fresh_keys, mode="drop")
         return new_bufs, samp, logits, keys
 
-    def _decode_impl(self, params, bufs, samp, logits, keys, ptr, *, length):
+    def _decode_impl(self, params, taps_list, bufs, samp, logits, keys, ptr,
+                     *, length):
         """``length`` tokens for every lane in one scan.  Per-lane keys:
-        lane output is a pure function of (lane seed, lane logits)."""
+        lane output is a pure function of (lane seed, lane logits).
+        taps ride as arguments (not closure constants) so the jitted
+        program is engine-instance-independent (_SHARED_JITS)."""
         dec, sampler = self.dec, self.sampler
-        taps_list = dec.taps_list
 
         def body(carry, _):
             bufs, samp, logits, keys, ptr = carry
@@ -208,13 +229,15 @@ class ServingEngine:
         return bufs, samp, logits, keys, ptr, out  # out [length, N]
 
     def _decode_fn(self, length: int):
-        """Jitted decode program for one scan-length bucket (cached)."""
+        """Jitted decode program for one scan-length bucket (cached in the
+        module-level shared store, so every engine with the same
+        (cfg, slots, chunk, buf_dtype) reuses the compiled program)."""
         fn = self._decode_fns.get(length)
         if fn is None:
             import functools
 
             fn = jax.jit(functools.partial(self._decode_impl, length=length),
-                         donate_argnums=(1, 2, 3, 4))
+                         donate_argnums=(2, 3, 4, 5))
             self._decode_fns[length] = fn
         return fn
 
@@ -406,7 +429,7 @@ class ServingEngine:
 
         length = self._bucket(self._lanes)
         bufs, samp, logits, keys, ptr, out = self._decode_fn(length)(
-            self.dec.params, *self._state)
+            self.dec.params, self.dec.taps_list, *self._state)
         self._state = (bufs, samp, logits, keys, ptr)
         seq = self.stats["chunks"]
         self.stats["chunks"] += 1
