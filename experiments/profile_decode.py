@@ -58,10 +58,10 @@ def build_variants(params, cfg):
     taps_list = [dec._layer_taps(params[f"block_{i}"]) for i in range(L)]
 
     def step_full(state, x_id):
-        return dec._token_step(params, taps_list, state, x_id)
+        return dec._token_step(params, state, x_id)
 
     def step_bf16(state, x_id):
-        return dec16._token_step(dec16.params, taps_list, state, x_id)
+        return dec16._token_step(dec16.params, state, x_id)
 
     def block_ct(bp, taps, x_t, buf_ct, ptr, *, write=True, tail=True):
         # buf_ct: [N, C, T] — tap contraction along the minor (lane) dim
@@ -140,7 +140,9 @@ def main() -> None:
 
     for B in args.batches:
         ids = np.random.default_rng(0).integers(32, 127, (B, T)).astype(np.int32)
-        (bufs, ptr), logits0 = dec.init_state(ids)
+        state0_full, logits0 = dec.init_state(ids)
+        bufs, ptrs, ws = state0_full  # per-lane ptrs [N] + tap rows (round 4)
+        ptr = jnp.int32(0)  # ct variants keep the legacy scalar-phase layout
 
         seq = iter(range(33, 127))  # distinct token per dispatch: the
         # tunneled chip serves REPEATED (executable, inputs) pairs from a
@@ -163,11 +165,13 @@ def main() -> None:
             layout, step = variants[name]
             if layout == "tc":
                 b = bufs
+                state0 = (b, ptrs, ws)
             elif layout == "tc16":
                 b = [x.astype(jnp.bfloat16) for x in bufs]
+                state0 = (b, ptrs, ws)
             else:
                 b = [jnp.swapaxes(x, 1, 2) for x in bufs]
-            state0 = (b, ptr)
+                state0 = (b, ptr)
 
             def run(state0, tok0, n, step=step):
                 def body(c, x):

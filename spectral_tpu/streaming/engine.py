@@ -164,7 +164,7 @@ class ServingEngine:
         progs = _SHARED_JITS.setdefault(jkey, {})
         if "admit" not in progs:
             progs["admit"] = jax.jit(self._admit_impl,
-                                     donate_argnums=(0, 1, 2, 3))
+                                     donate_argnums=(0, 1, 2, 3, 4, 5))
             progs["decode"] = {}
         self._admit_fn = progs["admit"]
         self._decode_fns: dict[int, object] = progs["decode"]  # length -> fn
@@ -182,51 +182,57 @@ class ServingEngine:
 
     # -- device programs ----------------------------------------------------
 
-    def _admit_impl(self, bufs, samp, logits, keys, ptr, slots_arr,
-                    fresh_bufs, fresh_logits, fresh_samp, fresh_keys):
+    def _admit_impl(self, bufs, samp, logits, keys, ptrs, ws, slots_arr,
+                    fresh_bufs, fresh_logits, fresh_samp, fresh_keys,
+                    fresh_ptrs, fresh_ws):
         """Insert one admission round of freshly prefilled streams — ALL M
         lanes in ONE scatter program (the per-slot loop paid one dispatch
         RTT per admitted request).
 
         ``slots_arr`` is [M_pad] int32, padded entries = ``self.slots``
-        (out of bounds, dropped by ``mode="drop"``).  ``fresh_bufs`` come
-        from a ptr=0 prefill (oldest at slot 0); the engine's next write
-        goes to slot ``ptr``, so rotate each fresh window by ``ptr`` along
-        time — after which a lane is indistinguishable from one
-        initialized at engine start.
+        (out of bounds, dropped by ``mode="drop"``).  Lanes carry their
+        OWN write phase (``ptrs``) and tap rows (``ws``), so a fresh
+        lane's buffers are inserted UNROTATED at its own phase 0 — its
+        layout (and fp reduction order) is identical to a solo run at
+        every subsequent step, which is what makes admission invariance
+        BIT-exact rather than exact-in-real-arithmetic (see
+        overlap_save_batch._init_impl).
         """
-        rolled = [jax.vmap(lambda x: jnp.roll(x, ptr, axis=0))(f)
-                  for f in fresh_bufs]
         new_bufs = [
-            b.at[slots_arr].set(r.astype(b.dtype), mode="drop")
-            for b, r in zip(bufs, rolled)
+            b.at[slots_arr].set(f.astype(b.dtype), mode="drop")
+            for b, f in zip(bufs, fresh_bufs)
         ]
         samp = jax.tree.map(
             lambda s, f: s.at[slots_arr].set(f, mode="drop"), samp, fresh_samp)
         logits = logits.at[slots_arr].set(fresh_logits, mode="drop")
         keys = keys.at[slots_arr].set(fresh_keys, mode="drop")
-        return new_bufs, samp, logits, keys
+        ptrs = ptrs.at[slots_arr].set(fresh_ptrs, mode="drop")
+        ws = [w.at[slots_arr].set(f, mode="drop")
+              for w, f in zip(ws, fresh_ws)]
+        return new_bufs, samp, logits, keys, ptrs, ws
 
-    def _decode_impl(self, params, taps_list, bufs, samp, logits, keys, ptr,
+    def _decode_impl(self, params, bufs, samp, logits, keys, ptrs, ws,
                      *, length):
         """``length`` tokens for every lane in one scan.  Per-lane keys:
         lane output is a pure function of (lane seed, lane logits).
-        taps ride as arguments (not closure constants) so the jitted
-        program is engine-instance-independent (_SHARED_JITS)."""
+        Taps ride in state (per-lane ``ws`` rows), so the jitted program
+        has no closure constants and is engine-instance-independent
+        (_SHARED_JITS)."""
         dec, sampler = self.dec, self.sampler
 
         def body(carry, _):
-            bufs, samp, logits, keys, ptr = carry
+            bufs, samp, logits, keys, ptrs, ws = carry
             l = jax.vmap(sampler.process_logits)(logits, samp)
             split = jax.vmap(jax.random.split)(keys)  # [N, 2, 2]
             keys, subs = split[:, 0], split[:, 1]
             nxt, samp = jax.vmap(sampler.draw_and_update)(subs, l, samp)
-            (bufs, ptr), logits = dec._token_step(params, taps_list, (bufs, ptr), nxt)
-            return (bufs, samp, logits, keys, ptr), nxt
+            (bufs, ptrs, ws), logits = dec._token_step(
+                params, (bufs, ptrs, ws), nxt)
+            return (bufs, samp, logits, keys, ptrs, ws), nxt
 
-        (bufs, samp, logits, keys, ptr), out = jax.lax.scan(
-            body, (bufs, samp, logits, keys, ptr), None, length=length)
-        return bufs, samp, logits, keys, ptr, out  # out [length, N]
+        (bufs, samp, logits, keys, ptrs, ws), out = jax.lax.scan(
+            body, (bufs, samp, logits, keys, ptrs, ws), None, length=length)
+        return bufs, samp, logits, keys, ptrs, ws, out  # out [length, N]
 
     def _decode_fn(self, length: int):
         """Jitted decode program for one scan-length bucket (cached in the
@@ -237,7 +243,7 @@ class ServingEngine:
             import functools
 
             fn = jax.jit(functools.partial(self._decode_impl, length=length),
-                         donate_argnums=(2, 3, 4, 5))
+                         donate_argnums=(1, 2, 3, 4, 5, 6))
             self._decode_fns[length] = fn
         return fn
 
@@ -246,18 +252,17 @@ class ServingEngine:
     def _blank_state(self):
         N, T = self.slots, self.dec.T
         blank = np.full((N, T), 32, np.int32)
-        (bufs, ptr), logits = self.dec.init_state(blank)
-        samp = jax.tree.map(
-            lambda *leaves: jnp.stack(leaves),
-            *[self.sampler.init_state([32]) for _ in range(N)],
-        )
+        (bufs, ptrs, ws), logits = self.dec.init_state(blank)
+        samp = self.sampler.init_state_batch([[32]] * N)
         keys = jnp.stack([jax.random.PRNGKey(0)] * N)
         if self._lane_sharding is not None:
             bufs = jax.device_put(bufs, self._lane_sharding)
             samp = jax.device_put(samp, self._lane_sharding)
             logits = jax.device_put(logits, self._lane_sharding)
             keys = jax.device_put(keys, self._lane_sharding)
-        return bufs, samp, logits, keys, ptr
+            ptrs = jax.device_put(ptrs, self._lane_sharding)
+            ws = jax.device_put(ws, self._lane_sharding)
+        return bufs, samp, logits, keys, ptrs, ws
 
     def _prefill_many(self, reqs: list):
         """ONE batched [M_pad, T] prefill forward for every request
@@ -269,8 +274,9 @@ class ServingEngine:
         axis, so results match the M=1 prefill.
 
         Returns ``(encs, fresh_bufs, fresh_logits, fresh_samp,
-        fresh_keys, m_pad)`` with every device value BATCHED [m_pad, ...]
-        — the shape ``_admit_impl`` scatters in one program."""
+        fresh_keys, fresh_ptrs, fresh_ws, m_pad)`` with every device value
+        BATCHED [m_pad, ...] — the shape ``_admit_impl`` scatters in one
+        program."""
         T = self.dec.T
         m_pad = 1
         while m_pad < len(reqs):
@@ -282,18 +288,19 @@ class ServingEngine:
             encs.append(enc)
             tail = enc[-T:]
             windows[i, T - len(tail):] = tail
-        fresh_bufs, _, fresh_logits = self.dec._init_fn(
+        fresh_bufs, fresh_ptrs, fresh_ws, fresh_logits = self.dec._init_fn(
             self.dec.params, jnp.asarray(windows))
         self.stats["prefill_calls"] = self.stats.get("prefill_calls", 0) + 1
         fresh_samp = self.sampler.init_state_batch(
             encs + [[32]] * (m_pad - len(reqs)))
         seeds = [req.seed for req in reqs] + [0] * (m_pad - len(reqs))
         fresh_keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
-        return encs, fresh_bufs, fresh_logits, fresh_samp, fresh_keys, m_pad
+        return (encs, fresh_bufs, fresh_logits, fresh_samp, fresh_keys,
+                fresh_ptrs, fresh_ws, m_pad)
 
     def _prefill(self, req: Request):
         """Single-request prefill (the M=1 row of ``_prefill_many``)."""
-        encs, fb, fl, fs, fk, _ = self._prefill_many([req])
+        encs, fb, fl, fs, fk, fp, fw, _ = self._prefill_many([req])
         return (encs[0], [b[0:1] for b in fb], fl[0:1],
                 jax.tree.map(lambda x: x[0], fs), fk[0])
 
@@ -395,19 +402,20 @@ class ServingEngine:
         batch = []  # (slot, rid, req) admitted this round
         while self._pending and self._free:
             batch.append((self._free.pop(), *self._pending.pop(0)))
-        encs, fb, fl, fs, fk, m_pad = self._prefill_many(
+        encs, fb, fl, fs, fk, fp, fw, m_pad = self._prefill_many(
             [req for _, _, req in batch])
         slots_arr = np.full((m_pad,), self.slots, np.int32)  # pad -> dropped
         for i, (slot, _, _) in enumerate(batch):
             slots_arr[i] = slot
-        bufs, samp, logits, keys, ptr = self._state
-        bufs, samp, logits, keys = self._admit_fn(
-            bufs, samp, logits, keys, ptr, jnp.asarray(slots_arr), fb, fl, fs, fk)
+        bufs, samp, logits, keys, ptrs, ws = self._state
+        bufs, samp, logits, keys, ptrs, ws = self._admit_fn(
+            bufs, samp, logits, keys, ptrs, ws, jnp.asarray(slots_arr),
+            fb, fl, fs, fk, fp, fw)
         for (slot, rid, req), enc in zip(batch, encs):
             self._lanes[slot] = _Lane(index=rid, req=req, slot=slot,
                                       prompt_bytes=enc)
             self.metrics[rid]["admit_work"] = self.stats["scan_tokens"]
-        self._state = (bufs, samp, logits, keys, ptr)
+        self._state = (bufs, samp, logits, keys, ptrs, ws)
 
     def step(self, fetch: bool = True) -> list[tuple[int, str | None]]:
         """Admit whatever fits, advance every active lane one bucketed
@@ -428,9 +436,9 @@ class ServingEngine:
             return []
 
         length = self._bucket(self._lanes)
-        bufs, samp, logits, keys, ptr, out = self._decode_fn(length)(
-            self.dec.params, self.dec.taps_list, *self._state)
-        self._state = (bufs, samp, logits, keys, ptr)
+        bufs, samp, logits, keys, ptrs, ws, out = self._decode_fn(length)(
+            self.dec.params, *self._state)
+        self._state = (bufs, samp, logits, keys, ptrs, ws)
         seq = self.stats["chunks"]
         self.stats["chunks"] += 1
         self.stats["decoded_tokens"] += length * self.slots

@@ -157,8 +157,21 @@ class OverlapSaveBatch:
                 and C % 128 == 0 and self.T % 8 == 0)
 
     def _init_impl(self, params, x_ids):
-        """x_ids [N, T] -> (bufs, ptr, logits).  Buffer slot j holds
-        window position j; the next write overwrites slot 0 (the oldest)."""
+        """x_ids [N, T] -> (bufs, ptrs, ws, logits).  Buffer slot j holds
+        window position j; lane n's next write overwrites its slot
+        ``ptrs[n]`` (initially 0, the oldest).
+
+        Per-lane phase (round 4): ``ptrs`` is [N] and each lane carries
+        its own rotated tap row ``ws[l][n]`` — so a lane's buffer layout
+        (and therefore the fp REDUCTION ORDER of the conv dot) is
+        identical to a solo run at every decode step, no matter when the
+        engine admitted it.  With the previous engine-global ptr, a lane
+        admitted at phase p had its window rotated by p: exact in real
+        arithmetic, but the rotated accumulation order perturbs logits at
+        the 1e-6 class, which the nucleus mask occasionally amplifies
+        into a flipped sampled byte (chip-reproduced: 1 byte in a
+        20-token probe under a busy Poisson run).  Bit-exact admission
+        invariance is restored by never sharing a phase."""
         h = params["embed"]["embedding"][x_ids]
         bufs = []
         for i in range(self.n_layers):
@@ -193,61 +206,76 @@ class OverlapSaveBatch:
         h = _layernorm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
         h_last = h[:, -1, :]
         logits = h_last @ params["embed"]["embedding"].T
-        return bufs, jnp.int32(0), logits
+        N, T = x_ids.shape
+        ptrs = jnp.zeros((N,), jnp.int32)
+        # lane tap rows at phase 0: w0[j] = taps[(0 - j) mod T] reversed-
+        # rolled; each decode step rolls every row by +1 (cheap [N, T]
+        # slice-concat) instead of re-deriving from a shared ptr
+        ws = [jnp.broadcast_to(
+                  jnp.roll(self._layer_taps(params[f"block_{i}"])[::-1], 1),
+                  (N, T))
+              for i in range(self.n_layers)]
+        return bufs, ptrs, ws, logits
 
     # -- per-token step ------------------------------------------------------
 
-    def _block_token(self, bp: dict, taps: jax.Array, x_t: jax.Array,
-                     buf: jax.Array, ptr):
-        """One token through one block.  x_t [N, C], buf [N, T, C] circular.
+    def _block_token(self, bp: dict, w: jax.Array, x_t: jax.Array,
+                     buf: jax.Array, ptrs):
+        """One token through one block.  x_t [N, C], buf [N, T, C] circular
+        with PER-LANE write phase ``ptrs`` [N]; ``w`` [N, T] is each lane's
+        tap row already rotated to its own phase (carried in state).
 
-        Writes this token's pre-norm activation at slot ``ptr`` (newest),
+        Writes this token's pre-norm activation at each lane's own slot,
         then computes conv-dot AND window mean in ONE buffer read:
-        R = [rotated taps; 1/T], res = einsum('ntc,rt->nrc', buf, R).
+        R_n = [w_n; 1/T], res = einsum('ntc,nrt->nrc', buf, R).
         """
         T = self.T
         xn = _layernorm(x_t, bp["ln"]["scale"], bp["ln"]["bias"])
-        buf = jax.lax.dynamic_update_slice(
-            buf, xn.astype(buf.dtype)[:, None, :], (0, ptr, 0))
-        # w[j] = taps[(ptr - j) mod T]: newest weight on the slot just written
-        w = jnp.roll(taps[::-1], ptr + 1)
-        R = jnp.stack([w, jnp.full((T,), 1.0 / T, jnp.float32)])  # [2, T]
-        res = jnp.einsum("ntc,rt->nrc", buf, R.astype(buf.dtype),
+        buf = jax.vmap(
+            lambda b, v, p: jax.lax.dynamic_update_slice(b, v[None], (p, 0))
+        )(buf, xn.astype(buf.dtype), ptrs)
+        R = jnp.stack(
+            [w, jnp.full_like(w, 1.0 / T)], axis=1)  # [N, 2, T]
+        res = jnp.einsum("ntc,nrt->nrc", buf, R.astype(buf.dtype),
                          preferred_element_type=jnp.float32)
         y_raw, pooled = res[:, 0, :], res[:, 1, :]
         g_ctx = jax.nn.sigmoid(pooled @ bp["gate_ctx"]["kernel"] + bp["gate_ctx"]["bias"])
         y = y_raw * (bp["gain"][None, :] * g_ctx)
         return _ffn(bp["ffn"], x_t + y), buf
 
-    def _token_step(self, params, taps_list, state, x_id):
-        bufs, ptr = state
+    def _token_step(self, params, state, x_id):
+        bufs, ptrs, ws = state
         h = params["embed"]["embedding"][x_id]
         new_bufs = []
         for i in range(self.n_layers):
-            h, b = self._block_token(params[f"block_{i}"], taps_list[i], h,
-                                     bufs[i], ptr)
+            h, b = self._block_token(params[f"block_{i}"], ws[i], h,
+                                     bufs[i], ptrs)
             new_bufs.append(b)
         h = _layernorm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
         logits = h @ params["embed"]["embedding"].T
-        return (new_bufs, (ptr + 1) % self.T), logits
+        # advance every lane's phase; the tap rows rotate with it
+        ptrs = (ptrs + 1) % self.T
+        ws = [jnp.roll(w, 1, axis=-1) for w in ws]
+        return (new_bufs, ptrs, ws), logits
 
-    def _step_impl(self, params, taps_list, state, x_id):
-        # taps ride as ARGUMENTS (not closure constants) so the jitted
-        # program is instance-independent and shareable via _SHARED_JITS
-        return self._token_step(params, taps_list, state, x_id)
+    def _step_impl(self, params, state, x_id):
+        # state carries taps (ws) and per-lane phases — no closure
+        # constants, so the jitted program is instance-independent
+        # (_SHARED_JITS)
+        return self._token_step(params, state, x_id)
 
     # -- public API ----------------------------------------------------------
 
     def init_state(self, context_ids) -> tuple:
         """context_ids [N, T] int32 (left-pad to seq_len upstream).
-        Returns ((bufs, ptr), logits_for_last_context_position)."""
-        bufs, ptr, logits = self._init_fn(self.params, jnp.asarray(context_ids, jnp.int32))
-        return (bufs, ptr), logits
+        Returns ((bufs, ptrs, ws), logits_for_last_context_position)."""
+        bufs, ptrs, ws, logits = self._init_fn(
+            self.params, jnp.asarray(context_ids, jnp.int32))
+        return (bufs, ptrs, ws), logits
 
     def next_logits(self, state, last_id):
         """last_id [N] int32 -> (state, [N, 256] tied logits)."""
-        return self._step(self.params, self.taps_list, state,
-                          jnp.asarray(last_id, jnp.int32))
+        return self._step(self.params, state, jnp.asarray(last_id, jnp.int32))
 
 
 def overlap_save_generate_batch(
@@ -294,9 +322,7 @@ def overlap_save_generate_batch(
 
         @jax.jit
         def run(params, state, samp_states, logits0, rng):
-            # taps depend only on params: computed ONCE, carried into the scan
-            taps_list = [decoder._layer_taps(params[f"block_{i}"])
-                         for i in range(decoder.n_layers)]
+            # taps ride in state (per-lane rotated rows, init_state)
 
             def body(carry, _):
                 state, samp_states, logits, rng = carry
@@ -304,7 +330,7 @@ def overlap_save_generate_batch(
                 rng, sub = jax.random.split(rng)
                 subs = jax.random.split(sub, l.shape[0])
                 nxt, samp_states = jax.vmap(sampler.draw_and_update)(subs, l, samp_states)
-                state, logits = decoder._token_step(params, taps_list, state, nxt)
+                state, logits = decoder._token_step(params, state, nxt)
                 return (state, samp_states, logits, rng), nxt
 
             _, out = jax.lax.scan(body, (state, samp_states, logits0, rng), None, length=max_new)

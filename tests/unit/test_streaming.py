@@ -328,9 +328,9 @@ class TestOverlapSaveBatch:
         flax_dec = OverlapSaveBatch(params, cfg, prefill_backend="flax")
         fused_dec = OverlapSaveBatch(params, cfg, prefill_backend="fused")
         assert fused_dec._fused_prefill and not flax_dec._fused_prefill
-        (bufs_f, ptr_f), logits_f = flax_dec.init_state(ids)
-        (bufs_k, ptr_k), logits_k = fused_dec.init_state(ids)
-        for i, (a, b) in enumerate(zip(bufs_k, bufs_f)):
+        state_f, logits_f = flax_dec.init_state(ids)
+        state_k, logits_k = fused_dec.init_state(ids)
+        for i, (a, b) in enumerate(zip(state_k[0], state_f[0])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4,
                                        err_msg=f"layer {i} pre-norm buffer")
@@ -339,8 +339,8 @@ class TestOverlapSaveBatch:
 
         # decode continues identically from either prefill
         nxt = np.asarray([65, 66, 67], np.int32)
-        _, lf = flax_dec.next_logits((bufs_f, ptr_f), nxt)
-        _, lk = fused_dec.next_logits((bufs_k, ptr_k), nxt)
+        _, lf = flax_dec.next_logits(state_f, nxt)
+        _, lk = fused_dec.next_logits(state_k, nxt)
         np.testing.assert_allclose(np.asarray(lk), np.asarray(lf),
                                    rtol=2e-4, atol=2e-4)
 
