@@ -231,9 +231,12 @@ class OverlapSaveBatch:
         """
         T = self.T
         xn = _layernorm(x_t, bp["ln"]["scale"], bp["ln"]["bias"])
-        buf = jax.vmap(
-            lambda b, v, p: jax.lax.dynamic_update_slice(b, v[None], (p, 0))
-        )(buf, xn.astype(buf.dtype), ptrs)
+        # row scatter, NOT vmapped dynamic_update_slice: the vmapped form
+        # lowers out-of-place (a full [N, T, C] copy per layer per token,
+        # chip-measured +0.31 ms/token at the fleet shape); .at[].set
+        # scatters in place on the scan carry
+        buf = buf.at[jnp.arange(buf.shape[0]), ptrs].set(
+            xn.astype(buf.dtype))
         R = jnp.stack(
             [w, jnp.full_like(w, 1.0 / T)], axis=1)  # [N, 2, T]
         res = jnp.einsum("ntc,nrt->nrc", buf, R.astype(buf.dtype),
