@@ -20,6 +20,10 @@ CASES = {
     "seq2048": (4, 2048, 512, 4096),
     "seq4096": (4, 4096, 512, 8192),
     "seq8192": (2, 8192, 512, 16384),
+    # VERDICT r3 weak #6: the n_fft-32768 in-kernel backward was
+    # dispatch-excluded on an assumption — measure it once (expect a
+    # very long Mosaic compile; run solo in a generous background window)
+    "seq16384": (1, 16384, 512, 32768),
 }
 
 
@@ -90,8 +94,15 @@ def main() -> None:
     for name in args.cases.split(","):
         B, T, C, n_fft = CASES[name.strip()]
         for be in args.backends.split(","):
-            bench(name.strip(), B, T, C, n_fft, be.strip(), iters=args.iters,
-                  dtype=args.dtype)
+            try:
+                bench(name.strip(), B, T, C, n_fft, be.strip(),
+                      iters=args.iters, dtype=args.dtype)
+            except Exception as e:
+                # a Mosaic-rejected shape is a RESULT (e.g. n_fft 32768:
+                # "infer-vector-layout: unsupported shape cast"), not a
+                # reason to lose the other backends' numbers
+                print(f"{name:<8} {be.strip():<7} REJECTED: {str(e)[:160]}",
+                      flush=True)
 
 
 if __name__ == "__main__":
