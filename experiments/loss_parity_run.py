@@ -21,9 +21,33 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--data", type=str, default=None, help="real corpus path (default: synthetic)")
+    # round-4 (VERDICT r3 next #4): the overlay at the REFERENCE-RECOMMENDED
+    # shape — d512 x 6, seq 1024, kernel 128 (README.md:240-243,
+    # train_fixed_full.py:34-105) — not just the d64 x 2 toy:
+    #   python -m experiments.loss_parity_run --flagship \
+    #       --data data/valid.txt --steps 150
+    # (JAX side chip-or-CPU at HIGHEST; torch reference on CPU fp32.)
+    ap.add_argument("--flagship", action="store_true",
+                    help="reference-recommended config: d512 x 6 / seq 1024 "
+                         "/ kernel 128 / batch 4, AdamW lr 2e-4, cutoff 128")
+    ap.add_argument("--d-model", type=int, default=None)
+    ap.add_argument("--n-layers", type=int, default=None)
+    ap.add_argument("--seq-len", type=int, default=None)
+    ap.add_argument("--kernel-len", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--cutoff", type=int, default=None)
+    ap.add_argument("--adamw", action="store_true",
+                    help="AdamW (decoupled wd 0.01) on both sides, like the "
+                         "reference trainer")
     args = ap.parse_args()
 
     import jax
+
+    # fp32 end-to-end: at DEFAULT the TPU rounds fp32 matmul inputs to bf16
+    # (2e-3 class) while the torch CPU oracle stays fp32 — a DEFAULT
+    # "divergence" would measure rounding, not equations (CLAUDE.md)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -39,11 +63,18 @@ def main():
     # causal_taps=False: the torch oracle implements the reference
     # equations verbatim (the production default diverges deliberately —
     # see ops/fftc.causal_filter_taps)
-    cfg = TrainConfig(
-        causal_taps=False,
-        d_model=64, n_layers=2, seq_len=128, kernel_len=32, jpeg_transition=8,
-        batch_size=8, dropout=0.0, lr=1e-3, weight_decay=0.0,
-    )
+    shape = dict(d_model=64, n_layers=2, seq_len=128, kernel_len=32,
+                 jpeg_transition=8, batch_size=8, lr=1e-3)
+    if args.flagship:
+        shape = dict(d_model=512, n_layers=6, seq_len=1024, kernel_len=128,
+                     jpeg_transition=32, batch_size=4, lr=2e-4)
+    for k, a in (("d_model", "d_model"), ("n_layers", "n_layers"),
+                 ("seq_len", "seq_len"), ("kernel_len", "kernel_len"),
+                 ("batch_size", "batch_size")):
+        v = getattr(args, a)
+        if v is not None:
+            shape[k] = v
+    cfg = TrainConfig(causal_taps=False, dropout=0.0, weight_decay=0.0, **shape)
     model = FixedSpectralLM(cfg)
     rng = np.random.default_rng(0)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((cfg.batch_size, cfg.seq_len), jnp.int32))["params"]
@@ -67,9 +98,12 @@ def main():
         return w[:, :-1].astype(np.int32), w[:, 1:].astype(np.int32)
 
     batches = [batch() for _ in range(args.steps)]
-    cutoff = 48
+    # flagship default: the reference curriculum's opening cutoff (128,
+    # curriculum_cutoff train_fixed_full.py:279-292); toy default: 48
+    cutoff = args.cutoff if args.cutoff is not None else (
+        128 if args.flagship else 48)
 
-    tx = optax.adam(cfg.lr)
+    tx = optax.adamw(cfg.lr, weight_decay=0.01) if args.adamw else optax.adam(cfg.lr)
     state = tx.init(params)
 
     @jax.jit
@@ -77,7 +111,7 @@ def main():
         l, g = jax.value_and_grad(
             lambda p: cross_entropy(model.apply({"params": p}, bx, cutoff=jnp.int32(cutoff), deterministic=True), by)
         )(p)
-        u, s = tx.update(g, s)
+        u, s = tx.update(g, s, p)
         return optax.apply_updates(p, u), s, l
 
     jax_losses = []
@@ -86,9 +120,12 @@ def main():
         p, state, l = step(p, state, jnp.asarray(bx), jnp.asarray(by))
         jax_losses.append(float(l))
 
-    opt = torch.optim.Adam(tmodel.parameters(), lr=cfg.lr)
+    opt = (torch.optim.AdamW(tmodel.parameters(), lr=cfg.lr, weight_decay=0.01)
+           if args.adamw else torch.optim.Adam(tmodel.parameters(), lr=cfg.lr))
     lf = torch.nn.CrossEntropyLoss()
     torch_losses = []
+    import time as _time
+    _t0 = _time.time()
     for bx, by in batches:
         opt.zero_grad()
         logits = tmodel(torch.tensor(bx.astype(np.int64)), cutoff=cutoff)
@@ -96,6 +133,10 @@ def main():
         loss.backward()
         opt.step()
         torch_losses.append(float(loss.item()))
+        n = len(torch_losses)
+        if n % 10 == 0:
+            print(f"  torch step {n}/{args.steps} loss {torch_losses[-1]:.5f} "
+                  f"({(_time.time()-_t0)/n:.1f} s/step)", flush=True)
 
     print(f"{'step':>6} {'spectral_tpu':>13} {'torch ref':>11} {'rel diff':>9}")
     for i in range(0, args.steps, max(1, args.steps // 20)):
