@@ -108,6 +108,28 @@ def make_sharded_train_step(model, cfg: TrainConfig, tx, mesh: Mesh) -> Callable
     def step(params, opt_state, bx, by, cutoff, lr, rng):
         accum = bx.shape[0]
 
+        # same flat-accum fold as the single-chip trainer (round-4
+        # attribution: the scan's per-micro grad materialize+add cost
+        # 7.45 ms of the 27.6 ms flagship step; identical gradients —
+        # tests/unit/test_trainer_accum.py).  The reshape merges the
+        # accum axis into the dp-sharded batch axis, so each chip's
+        # local batch grows by accum and the dp sharding is preserved;
+        # the per-chip token cap applies to the LOCAL shard
+        if (accum > 1
+                and getattr(cfg, "flatten_accum", "never") in ("auto", "always")
+                and (cfg.flatten_accum == "always"
+                     or bx.size <= cfg.flatten_accum_max_tokens)):
+            # merge b-MAJOR (swapaxes first): the accum axis folds INSIDE
+            # each dp shard's contiguous batch block, so the fold is
+            # shard-local — a direct reshape would interleave accum
+            # across dp and force a cross-chip reshard
+            def fold(a):
+                return jnp.swapaxes(a, 0, 1).reshape(
+                    1, a.shape[0] * a.shape[1], a.shape[2])
+
+            bx, by = fold(bx), fold(by)
+            accum = 1
+
         def micro(carry, xs):
             g_acc, l_acc, rng = carry
             mbx, mby = xs

@@ -81,6 +81,47 @@ class TestMesh:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+    def test_sharded_flat_accum_equals_scan(self):
+        """Round 4: the sharded step's flat-accum fold (b-major, shard-
+        local) must produce the same optimizer step as the accum scan."""
+        from spectral_tpu.models.backbone import FixedSpectralLM
+        from spectral_tpu.models.config import TrainConfig
+        from spectral_tpu.parallel.sharded_train import make_sharded_train_step
+        from spectral_tpu.train.trainer import make_optimizer
+
+        rng = np.random.default_rng(3)
+        bx = jnp.asarray(rng.integers(0, 256, (4, 4, 64)).astype(np.int32))
+        by = jnp.asarray(rng.integers(0, 256, (4, 4, 64)).astype(np.int32))
+        args = (jnp.int32(24), jnp.float32(1e-3), jax.random.PRNGKey(1))
+
+        outs = {}
+        for mode in ("never", "always"):
+            cfg = TrainConfig(
+                d_model=64, n_layers=2, seq_len=64, kernel_len=16,
+                jpeg_transition=8, batch_size=4, accum_steps=4, dropout=0.0,
+                flatten_accum=mode,
+            )
+            model = FixedSpectralLM(cfg)
+            params0 = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((cfg.batch_size, cfg.seq_len), jnp.int32))["params"]
+            tx = make_optimizer(cfg)
+            mesh = make_mesh(8)
+            with mesh:
+                p = shard_params(params0, mesh)
+                opt = tx.init(p)
+                step, opt = make_sharded_train_step(model, cfg, tx, mesh)(p, opt)
+                p, _, loss = step(p, opt, bx, by, *args)
+            outs[mode] = (p, float(loss))
+
+        np.testing.assert_allclose(outs["never"][1], outs["always"][1],
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(outs["never"][0]),
+                        jax.tree.leaves(outs["always"][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+
 class TestFusedDP:
     """The fused Pallas kernels run under a dp mesh via shard_map (VERDICT r2
     missing #2): the dp-sharded fused step must match the single-device
