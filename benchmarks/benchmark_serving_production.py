@@ -192,6 +192,12 @@ def main(argv=None):
     # probes for the on-line invariance check: 3 request indices
     probe_idx = [args.n // 7, args.n // 2, args.n - 3]
 
+    # one discarded warmup Poisson pass: the open-loop run reaches scan-
+    # length/admit-size buckets the closed-loop calibration never hits,
+    # and their compiles polluted rep 0 (bytes/s spread ~0.5 without it)
+    run_once(params, cfg, reqs, slots=args.slots,
+             policy=args.policies.split(",")[0], rate_hz=rate, seed=args.seed)
+
     table = {}
     for policy in args.policies.split(","):
         runs = []
