@@ -147,7 +147,9 @@ def bench_spectral_mix_hbm(
         return acc + jnp.mean(ypool[0, 0, 0])
 
     run = jax.jit(loop, static_argnums=(2,))
-    n_big = iters * 20
+    # 40x: t(1)'s ~10 ms tunnel jitter amortizes to ~5 us/iter at n_big=2000
+    # (it was the +-0.02 wobble on the roofline fraction at 20x)
+    n_big = iters * 40
 
     # compile both programs on a DEDICATED warmup input: if the warmup
     # (executable, inputs) pair reappeared in the timed loop the tunneled
@@ -162,7 +164,7 @@ def bench_spectral_mix_hbm(
     for pl_ in pools:
         jax.block_until_ready(pl_)
 
-    def timed(n, reps=2):
+    def timed(n, reps=3):
         best = float("inf")
         for r in range(reps):
             t0 = time.perf_counter()
@@ -220,7 +222,7 @@ def _bench_stream_hbm_pooled(seq, batch, dim, iters, pool):
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     run = jax.jit(loop, static_argnums=1)
-    n_big = iters * 20
+    n_big = iters * 40  # jitter amortization — see bench_spectral_mix_hbm
     xwarm = xpool + 1.0
     float(run(xwarm, 1))
     float(run(xwarm, n_big))
@@ -228,7 +230,7 @@ def _bench_stream_hbm_pooled(seq, batch, dim, iters, pool):
     for pl_ in pools:
         jax.block_until_ready(pl_)
 
-    def timed(n, reps=2):
+    def timed(n, reps=3):
         best = float("inf")
         for r in range(reps):
             t0 = time.perf_counter()

@@ -69,18 +69,26 @@ def _twiddle(n1: int, n2: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=32)
+def _lowbin_np(T: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    t = np.arange(T)[:, None].astype(np.float64)
+    j = np.arange(k)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * t * j / T
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
 def lowbin_tables(T: int, k: int) -> tuple[jax.Array, jax.Array]:
     """(T, k) cos/sin tables of the lowest k DFT bins (ang = 2π·t·j/T).
 
     The shared table source for the band-limited mixing paths
-    (layers/spectral_layers.py and ops/pallas_bandlimited.py)."""
-    t = np.arange(T)[:, None].astype(np.float64)
-    j = np.arange(k)[None, :].astype(np.float64)
-    ang = 2.0 * np.pi * t * j / T
-    return (
-        jnp.asarray(np.cos(ang).astype(np.float32)),
-        jnp.asarray(np.sin(ang).astype(np.float32)),
-    )
+    (layers/spectral_layers.py and ops/pallas_bandlimited.py).
+
+    Only the NUMPY tables are cached: a cached ``jnp.asarray`` created
+    while TRACING is a DynamicJaxprTracer, and serving it to a later
+    trace raises UnexpectedTracerError (hit by bench.py calling two
+    pooled-harness jits in one process).  jnp conversion per call is a
+    dedup'd trace constant — free."""
+    c, s = _lowbin_np(T, k)
+    return jnp.asarray(c), jnp.asarray(s)
 
 
 # TPU matmuls round fp32 inputs to bf16 at DEFAULT precision (measured
