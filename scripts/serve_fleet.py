@@ -32,7 +32,12 @@ from scripts._common import apply_platform_env
 def main(argv=None) -> None:
     apply_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--ckpt", default="fixed_spectral_ckpt.msgpack")
+    ap.add_argument("--ckpt", default="fixed_spectral_ckpt.msgpack",
+                    help="checkpoint to serve.  NOTE: when a .q8.msgpack "
+                         "sibling of this path exists, serving substitutes "
+                         "it by default (q8 is the serving default at "
+                         "measured fp32 parity); pass --fp32 to serve the "
+                         "named file verbatim")
     ap.add_argument("--fp32", action="store_true",
                     help="force the fp32 artifact: serving DEFAULTS to a "
                          ".q8.msgpack sibling of --ckpt when one exists "
@@ -54,9 +59,11 @@ def main(argv=None) -> None:
                          "max_new first; outputs are policy-invariant)")
     ap.add_argument("--buf-dtype", choices=["float32", "bfloat16"],
                     default="float32",
-                    help="exact mode: bf16 window buffers (measured: no "
-                         "speedup at d512x6 fleet shapes — see STREAMING.md; "
-                         "float32 default = bit-exact AND fast)")
+                    help="exact mode: bf16 window buffers — measured 1.45x "
+                         "decode at B=32 post per-lane fix (BENCHMARKS.md "
+                         "round-4 amendment); float32 default is the "
+                         "configuration the bit-exact admission-invariance "
+                         "guarantee is gated under")
     ap.add_argument("--temperature", type=float, default=0.9)
     ap.add_argument("--top-p", type=float, default=0.92)
     ap.add_argument("--rep", type=float, default=1.25)

@@ -303,7 +303,14 @@ def _tail_mesh(x, xn, s, h_fused, bp, mesh, sp_axis, tp_axis, n_fft,
             idx = jax.lax.axis_index(sp_axis).astype(jnp.uint32)
         if batch_axis is not None:
             idx = idx + jnp.uint32(nsp) * jax.lax.axis_index(batch_axis).astype(jnp.uint32)
-        shard_seed = seed_l + idx * jnp.uint32(0x9E3779B9)
+        # the shard-index multiplier must NOT reuse any _MASK_STREAM
+        # offset (pallas_tail.py:129) or the tp multiplier below: with
+        # 0x9E3779B9 (== _MASK_STREAM[1]) sp-shard i's hidden-mask seed
+        # equalled sp-shard i+1's conv/output-mask seed (r4 advisor) —
+        # 0xCC9E2D51 is odd (bijective mod 2^32) and distinct from all
+        # stream/tp constants, so no (shard, stream) seed pair collides
+        # at small shard counts.
+        shard_seed = seed_l + idx * jnp.uint32(0xCC9E2D51)
         # the HIDDEN-mask stream additionally folds the tp index: each
         # H-shard draws an independent hidden mask (statistically
         # identical to unsharded dropout), while the conv/output masks —

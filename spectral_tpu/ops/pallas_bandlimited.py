@@ -6,20 +6,31 @@ layers/spectral_layers.py:163 — reference equations spectral_layers.py:
 (k, D) complex filter.  This kernel runs the whole projection in one
 Pallas program per batch element.
 
-**Measured result (v5e, seq-4k headline shape): the XLA einsum path WINS —
-0.29 ms vs 0.42 ms fp32-accurate, and 4x in bf16 fast mode.**  XLA already
-fuses the elementwise filter into the matmuls, and inside a jitted
-benchmark/training loop keeps the loop carry VMEM-resident across
-iterations; a pallas_call is an HBM round trip per invocation plus launch
-overhead, which at this arithmetic intensity (4 matmuls of ~0.27 GFLOP per
-program) never pays for itself.  Contrast with ops/pallas_block.py, where
-fusing ~15 XLA fusions' worth of HBM traffic wins 1.5x.
+Two kernel generations live here; their measured verdicts DIFFER:
 
-Kept as an explicit opt-in (NOT auto-dispatched by the layer) for contexts
-XLA cannot fuse — e.g. as a building block inside a larger hand-written
-kernel — and as the documented negative result for "pallas-ify every op":
-kernel fusion pays where XLA's fusion boundary forces traffic, not where
-XLA already fuses.
+* ``bandlimited_mix`` (round 3, grid-per-batch, whole rows in VMEM): the
+  XLA einsum path WINS against it — 0.29 ms vs 0.42 ms fp32-accurate, 4x
+  in bf16 fast mode.  XLA already fuses the elementwise filter into the
+  matmuls and keeps a jitted loop's carry VMEM-resident; this kernel is an
+  HBM round trip per call and never pays for itself.  Kept as the
+  documented negative result and an interpret-mode parity target; NOT
+  dispatched by the layer.
+* ``bandlimited_mix_stream`` / ``_pooled`` (round 4, two-phase streamed
+  panels with VMEM scratch + split-mantissa fp32): BEATS XLA 2.2x —
+  158 us vs 349 us fp32-accurate at the seq-4k headline shape, 0.78-0.80
+  of the TRUE-HBM roofline in bf16 fast mode (vs a 0.82 pure-copy DMA
+  floor measured on the same grid).  This IS the layer's
+  ``fft_backend="bandlimited_stream"`` route and the bench.py default on
+  TPU (bench.py:388).  The r3 "XLA wins" verdict against the old kernel
+  was partly a harness artifact: feeding an opaque pallas_call from a
+  ``dynamic_slice`` makes XLA materialize ~134 MB/iter of phantom copies
+  (BENCHMARKS.md "round 4 findings", finding 2) — the streamed kernel
+  indexes the pool itself (scalar-prefetch slot) and dodges it.
+
+The durable lesson survives in refined form: kernel fusion pays where the
+XLA fusion boundary forces HBM traffic (pallas_block.py: 15 fusions, 1.5x;
+here: phase overlap + in-kernel pool indexing), not where XLA already
+fuses a single producer-consumer chain.
 
 Forward (s = 1/T reconstruction scale folded into the filter outside):
 

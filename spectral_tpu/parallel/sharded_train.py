@@ -114,11 +114,15 @@ def make_sharded_train_step(model, cfg: TrainConfig, tx, mesh: Mesh) -> Callable
         # tests/unit/test_trainer_accum.py).  The reshape merges the
         # accum axis into the dp-sharded batch axis, so each chip's
         # local batch grows by accum and the dp sharding is preserved;
-        # the per-chip token cap applies to the LOCAL shard
+        # the chip-validated token cap applies to the LOCAL shard, so
+        # compare per-chip tokens (global // dp) against it — comparing
+        # global tokens silently disabled the fold for any dp>1 recipe
+        # whose per-chip batch fits (r4 advisor)
+        local_tokens = bx.size // mesh.shape.get("dp", 1)
         if (accum > 1
                 and getattr(cfg, "flatten_accum", "never") in ("auto", "always")
                 and (cfg.flatten_accum == "always"
-                     or bx.size <= cfg.flatten_accum_max_tokens)):
+                     or local_tokens <= cfg.flatten_accum_max_tokens)):
             # merge b-MAJOR (swapaxes first): the accum axis folds INSIDE
             # each dp shard's contiguous batch block, so the fold is
             # shard-local — a direct reshape would interleave accum

@@ -158,14 +158,27 @@ class ServingEngine:
         # workflow constructing engines repeatedly (one per benchmark rep,
         # one per serve_fleet invocation...).  The impls take params and
         # taps as arguments, so the shared trace has no instance state.
+        # mesh identity must be STABLE — id(mesh) can be reused after the
+        # mesh is garbage-collected, silently serving another mesh's
+        # programs (r4 advisor) — and the cached jits bind to a
+        # params-free twin so the cache never pins an engine (or its
+        # decoder's device-resident param tree) for the process lifetime.
+        mesh_key = None if mesh is None else (
+            tuple(mesh.axis_names), tuple(sorted(mesh.shape.items())),
+            tuple(d.id for d in mesh.devices.flat))
         jkey = (tuple(sorted(cfg.to_dict().items())), self.slots, self.chunk,
-                str(self.dec.buf_dtype),
-                None if mesh is None else id(mesh))
+                str(self.dec.buf_dtype), mesh_key)
         progs = _SHARED_JITS.setdefault(jkey, {})
         if "admit" not in progs:
-            progs["admit"] = jax.jit(self._admit_impl,
+            import copy
+
+            twin = copy.copy(self)
+            twin.dec = self.dec.config_twin()
+            progs["twin"] = twin
+            progs["admit"] = jax.jit(twin._admit_impl,
                                      donate_argnums=(0, 1, 2, 3, 4, 5))
             progs["decode"] = {}
+        self._shared_twin = progs["twin"]
         self._admit_fn = progs["admit"]
         self._decode_fns: dict[int, object] = progs["decode"]  # length -> fn
         # continuous-admission state (created lazily by start()/submit())
@@ -242,8 +255,10 @@ class ServingEngine:
         if fn is None:
             import functools
 
-            fn = jax.jit(functools.partial(self._decode_impl, length=length),
-                         donate_argnums=(1, 2, 3, 4, 5, 6))
+            fn = jax.jit(
+                functools.partial(self._shared_twin._decode_impl,
+                                  length=length),
+                donate_argnums=(1, 2, 3, 4, 5, 6))
             self._decode_fns[length] = fn
         return fn
 

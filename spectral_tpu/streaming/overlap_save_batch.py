@@ -73,11 +73,15 @@ class OverlapSaveBatch:
         self._fused_prefill = self._pick_fused_prefill(prefill_backend)
         # "bfloat16" stores the [N, T, C] windows in bf16 (fp32
         # accumulation in the tap-dot, everything downstream fp32) at
-        # default-matmul-precision error class.  Chip A/B (experiments/
-        # profile_decode.py): NO speedup at d512x6 fleet shapes — the
-        # skinny [N,T,C]x[2,T] contraction doesn't consume bf16 natively
-        # — so the fp32 default (bit-exact decode) is also the fast path;
-        # the option remains for shapes where the dot lowers to the MXU.
+        # default-matmul-precision error class.  Measured history: under
+        # the r3 engine-global write pointer, chip A/B showed NO speedup
+        # at d512x6 fleet shapes; AFTER the per-lane-phase fix the same
+        # A/B flipped — bf16 windows 61.4K vs fp32 42.3K bytes/s at B=32
+        # (1.45x, BENCHMARKS.md round-4 amendment).  float32 remains the
+        # default because it is the configuration the BIT-exact admission
+        # invariance guarantee is stated and gated under; bf16 is the
+        # measured fast option (invariance coverage for bf16: see
+        # STREAMING.md serving guarantees).
         self.buf_dtype = jnp.dtype(buf_dtype)
         # taps depend only on params (fixed per decoder): computed ONCE
         # here, not per token — next_logits previously re-ran n_layers
@@ -91,15 +95,31 @@ class OverlapSaveBatch:
         # serving benchmark constructing one engine per rep measured
         # 3-23 s "steps" that were nothing but recompiles of identical
         # programs.  The impls take params AND taps as arguments, so the
-        # trace has no instance-specific constants.
+        # trace has no instance-specific constants.  The cached jits bind
+        # to a PARAMS-FREE config twin, not this instance: a bound-method
+        # jit pins its instance for the process lifetime, which kept the
+        # first decoder's device-resident param tree alive (r4 advisor).
         jkey = (tuple(sorted(cfg.to_dict().items())), str(self.buf_dtype),
                 self._fused_prefill)
         progs = _SHARED_JITS.setdefault(jkey, {})
         if "init" not in progs:
-            progs["init"] = jax.jit(self._init_impl)
-            progs["step"] = jax.jit(self._step_impl)
+            twin = self.config_twin()
+            progs["init"] = jax.jit(twin._init_impl)
+            progs["step"] = jax.jit(twin._step_impl)
         self._init_fn = progs["init"]
         self._step = progs["step"]
+
+    def config_twin(self) -> "OverlapSaveBatch":
+        """Shallow copy with the device-resident state (params, taps)
+        dropped.  The jitted impls take params/taps as ARGUMENTS, so a
+        twin-bound program is trace-identical while the shared cache holds
+        only config-sized host state."""
+        import copy
+
+        twin = copy.copy(self)
+        twin.params = None
+        twin.taps_list = None
+        return twin
 
     # -- filter taps --------------------------------------------------------
 
