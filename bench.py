@@ -101,6 +101,7 @@ def bench_spectral_mix_hbm(
     iters: int = 50,
     backend: str = "xla",
     pool: int = 8,
+    compute_dtype: str | None = None,
 ):
     """TRUE-HBM spectral-mix measurement (VERDICT r2 weak #1).
 
@@ -122,7 +123,8 @@ def bench_spectral_mix_hbm(
     from spectral_tpu.layers.spectral_layers import SpectralMixingLayer
 
     if backend == "bandlimited_stream":
-        return _bench_stream_hbm_pooled(seq, batch, dim, iters, pool)
+        return _bench_stream_hbm_pooled(seq, batch, dim, iters, pool,
+                                        compute_dtype)
 
     layer = SpectralMixingLayer(embed_dim=dim, fft_backend=backend)
     x0 = jax.random.normal(jax.random.PRNGKey(0), (batch, seq, dim), jnp.float32)
@@ -177,7 +179,8 @@ def bench_spectral_mix_hbm(
     return batch * seq / dt, dt, bytes_per_iter / dt / 1e9
 
 
-def _bench_stream_hbm_pooled(seq, batch, dim, iters, pool):
+def _bench_stream_hbm_pooled(seq, batch, dim, iters, pool,
+                             compute_dtype=None):
     """TRUE-HBM harness for the streamed Pallas kernel: the pool is fed
     THROUGH the kernel's scalar-prefetch index map rather than an XLA
     dynamic_slice.
@@ -204,8 +207,9 @@ def _bench_stream_hbm_pooled(seq, batch, dim, iters, pool):
     wr = jnp.full((k, dim), s, jnp.float32)
     wi = jnp.zeros((k, dim), jnp.float32)
     bias = jnp.zeros((dim,), jnp.float32)
-    cdt = ("float32" if matfft._PRECISION == jax.lax.Precision.HIGHEST
-           else "bfloat16")
+    cdt = compute_dtype or (
+        "float32" if matfft._PRECISION == jax.lax.Precision.HIGHEST
+        else "bfloat16")
 
     keys = jax.random.split(jax.random.PRNGKey(2), pool)
     xpool = jnp.stack(

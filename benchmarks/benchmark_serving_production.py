@@ -48,19 +48,23 @@ PROMPT_POOL = [
 ]
 
 
-def make_workload(n: int, seed: int):
-    """(prompt, max_new, seed) triples with log-uniform lengths."""
+def make_workload(n: int, seed: int, lo: int = 16, hi: int = 256):
+    """(prompt, max_new, seed) triples with log-uniform lengths in
+    [lo, hi].  The default range reproduces the round-4 prefill-heavy
+    mix (mean ~92 bytes); --max-new-range 256,2048 is the round-5
+    DECODE-heavy regime (VERDICT r4 next #4) where bytes/s measures
+    sustained decode under churn rather than queue service."""
     rng = np.random.default_rng(seed)
     reqs = []
     for i in range(n):
         p = PROMPT_POOL[int(rng.integers(len(PROMPT_POOL)))]
-        max_new = int(np.exp(rng.uniform(np.log(16), np.log(256))))
+        max_new = int(np.exp(rng.uniform(np.log(lo), np.log(hi))))
         reqs.append((p + f" # {i}", max_new, 1000 + i))
     return reqs
 
 
 def run_once(params, cfg, reqs, *, slots, policy, rate_hz, seed,
-             decode_chunk=32):
+             decode_chunk=32, buf_dtype="float32"):
     """One open-loop run: Poisson arrivals at rate_hz, async drain.
 
     Returns dict with wall time, bytes, turnaround percentiles (work +
@@ -71,7 +75,8 @@ def run_once(params, cfg, reqs, *, slots, policy, rate_hz, seed,
     gaps = rng.exponential(1.0 / rate_hz, size=len(reqs))
     arrivals = np.cumsum(gaps)
 
-    eng = ServingEngine(params, cfg, slots=slots, policy=policy)
+    eng = ServingEngine(params, cfg, slots=slots, policy=policy,
+                        buf_dtype=buf_dtype)
     eng.start()
     t0 = time.perf_counter()
     submit_wall = {}
@@ -119,7 +124,7 @@ def run_once(params, cfg, reqs, *, slots, policy, rate_hz, seed,
     }
 
 
-def calibrate_rate(params, cfg, reqs, *, slots, frac):
+def calibrate_rate(params, cfg, reqs, *, slots, frac, buf_dtype="float32"):
     """Drain a closed-loop batch (all requests pre-submitted) to measure
     capacity; open-loop rate = frac * completed/sec.
 
@@ -132,8 +137,9 @@ def calibrate_rate(params, cfg, reqs, *, slots, frac):
 
     sub = reqs[: max(2 * slots, 64)]
     batch = [Request(prompt=p, max_new=m, seed=s) for p, m, s in sub]
-    ServingEngine(params, cfg, slots=slots).run(batch)  # compile warmup
-    eng = ServingEngine(params, cfg, slots=slots)
+    ServingEngine(params, cfg, slots=slots,
+                  buf_dtype=buf_dtype).run(batch)  # compile warmup
+    eng = ServingEngine(params, cfg, slots=slots, buf_dtype=buf_dtype)
     t0 = time.perf_counter()
     eng.run(batch)
     dt = time.perf_counter() - t0
@@ -141,13 +147,19 @@ def calibrate_rate(params, cfg, reqs, *, slots, frac):
     return frac * cap, cap
 
 
-def invariance_spot_check(params, cfg, probes, busy_results):
-    """Probe texts from the busy Poisson run must equal solo-served runs."""
+def invariance_spot_check(params, cfg, probes, busy_results,
+                          buf_dtype="float32"):
+    """Probe texts from the busy Poisson run must equal solo-served runs.
+
+    The solo engines run under the SAME buf_dtype as the busy run: the
+    invariance guarantee is stated per-configuration (busy == solo under
+    identical numerics), so the probe must exercise the quoted config —
+    fp32 AND bf16 windows are both covered when both are benchmarked."""
     from spectral_tpu.streaming.engine import Request, ServingEngine
 
     ok = True
     for rid, (p, m, s) in probes.items():
-        solo = ServingEngine(params, cfg, slots=1).run(
+        solo = ServingEngine(params, cfg, slots=1, buf_dtype=buf_dtype).run(
             [Request(prompt=p, max_new=m, seed=s)])[0]
         if busy_results.get(rid) != solo:
             ok = False
@@ -166,6 +178,14 @@ def main(argv=None):
                     help="open-loop arrival rate as a fraction of measured capacity")
     ap.add_argument("--policies", default="fifo,sjf")
     ap.add_argument("--no-q8-ab", action="store_true")
+    ap.add_argument("--max-new-range", default="16,256",
+                    help="log-uniform request-length range LO,HI; "
+                         "'256,2048' = the decode-heavy regime")
+    ap.add_argument("--buf-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="exact-decoder window dtype for EVERY engine in "
+                         "the run (busy, calibration AND the invariance "
+                         "solo probes — the guarantee is per-config)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -182,10 +202,11 @@ def main(argv=None):
         return (p["backbone"] if "backbone" in p else p), cfg
 
     params, cfg = load(args.ckpt)
-    reqs = make_workload(args.n, args.seed)
+    lo, hi = (int(v) for v in args.max_new_range.split(","))
+    reqs = make_workload(args.n, args.seed, lo, hi)
 
     rate, cap = calibrate_rate(params, cfg, reqs, slots=args.slots,
-                               frac=args.load)
+                               frac=args.load, buf_dtype=args.buf_dtype)
     print(f"calibration: capacity ~{cap:.1f} req/s closed-loop -> "
           f"open-loop rate {rate:.1f} req/s ({args.load:.0%} load)")
 
@@ -196,14 +217,16 @@ def main(argv=None):
     # length/admit-size buckets the closed-loop calibration never hits,
     # and their compiles polluted rep 0 (bytes/s spread ~0.5 without it)
     run_once(params, cfg, reqs, slots=args.slots,
-             policy=args.policies.split(",")[0], rate_hz=rate, seed=args.seed)
+             policy=args.policies.split(",")[0], rate_hz=rate,
+             seed=args.seed, buf_dtype=args.buf_dtype)
 
     table = {}
     for policy in args.policies.split(","):
         runs = []
         for r in range(args.reps):
             out = run_once(params, cfg, reqs, slots=args.slots,
-                           policy=policy, rate_hz=rate, seed=args.seed + r)
+                           policy=policy, rate_hz=rate, seed=args.seed + r,
+                           buf_dtype=args.buf_dtype)
             runs.append(out)
             print(f"  [{policy} rep {r}] {out['bytes_per_s']:.0f} B/s "
                   f"wall {out['wall_s']:.1f}s p50/p99 work "
@@ -222,25 +245,40 @@ def main(argv=None):
             "completed": best["completed"],
         }
         probes = {i: reqs[i] for i in probe_idx}
-        inv = invariance_spot_check(params, cfg, probes, best["results"])
+        inv = invariance_spot_check(params, cfg, probes, best["results"],
+                                    buf_dtype=args.buf_dtype)
         table[policy]["admission_invariant"] = inv
 
     q8_path = os.path.splitext(args.ckpt)[0] + ".q8.msgpack"
     if not args.no_q8_ab and os.path.exists(q8_path):
         qparams, qcfg = load(q8_path)
         runs = [run_once(qparams, qcfg, reqs, slots=args.slots, policy="sjf",
-                         rate_hz=rate, seed=args.seed + r)
+                         rate_hz=rate, seed=args.seed + r,
+                         buf_dtype=args.buf_dtype)
                 for r in range(args.reps)]
         best = max(runs, key=lambda o: o["bytes_per_s"])
+        bps = [o["bytes_per_s"] for o in runs]
         sample_id = next(iter(best["results"]))
+        # full stats row (the r4 table left q8's p99 blank — VERDICT
+        # r4 weak #7) + the same per-config invariance gate
+        probes = {i: reqs[i] for i in probe_idx}
+        inv = invariance_spot_check(qparams, qcfg, probes, best["results"],
+                                    buf_dtype=args.buf_dtype)
         table["q8_sjf"] = {
             "bytes_per_s_best": round(best["bytes_per_s"], 1),
+            "bytes_per_s_spread": round((max(bps) - min(bps)) / max(bps), 3),
             "p50_work": best["p50_work"], "p99_work": best["p99_work"],
+            "p50_wall_s": round(best["p50_wall_s"], 3),
+            "p99_wall_s": round(best["p99_wall_s"], 3),
+            "completed": best["completed"],
+            "admission_invariant": inv,
             "sample": best["results"][sample_id][:120],
         }
 
     print(json.dumps({"workload": {"n": args.n, "slots": args.slots,
                                    "rate_hz": round(rate, 2),
+                                   "max_new_range": [lo, hi],
+                                   "buf_dtype": args.buf_dtype,
                                    "total_bytes": sum(m for _, m, _ in reqs)},
                       "policies": table}, indent=2))
 

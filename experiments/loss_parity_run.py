@@ -39,6 +39,27 @@ def main():
     ap.add_argument("--adamw", action="store_true",
                     help="AdamW (decoupled wd 0.01) on both sides, like the "
                          "reference trainer")
+    # round-5 (VERDICT r4 next #6): parity THROUGH the curriculum
+    # dynamics — a plateau-triggered cutoff unlock AND the Shock & Awe
+    # sawtooth LR restart both fire INSIDE the overlaid window.  The
+    # (cutoff_t, lr_t) series is produced by the REAL schedulers
+    # (train/schedules.plateau_cutoff + sawtooth_lr) driven by the JAX
+    # side's measured losses with a shortened patience so the unlock
+    # fires mid-window, then REPLAYED identically on the torch side —
+    # both sides see the same forcing, so the overlay measures equation
+    # parity through the discontinuity, not scheduler sensitivity.
+    ap.add_argument("--curriculum", action="store_true",
+                    help="drive cutoff/lr with the real plateau+sawtooth "
+                         "schedulers (forced patience) on BOTH sides")
+    ap.add_argument("--patience", type=int, default=15,
+                    help="--curriculum: plateau patience (shortened so an "
+                         "unlock fires inside the window)")
+    ap.add_argument("--force-unlock-step", type=int, default=None,
+                    help="--curriculum: deterministically fire the unlock "
+                         "(next band + Shock & Awe restart) at this step — "
+                         "the VERDICT-sanctioned forcing for windows where "
+                         "the loss never plateaus naturally; identical on "
+                         "both sides by construction")
     args = ap.parse_args()
 
     import jax
@@ -103,22 +124,64 @@ def main():
     cutoff = args.cutoff if args.cutoff is not None else (
         128 if args.flagship else 48)
 
-    tx = optax.adamw(cfg.lr, weight_decay=0.01) if args.adamw else optax.adam(cfg.lr)
+    mk = (lambda lr: optax.adamw(lr, weight_decay=0.01)) if args.adamw \
+        else (lambda lr: optax.adam(lr))
+    tx = optax.inject_hyperparams(mk)(lr=cfg.lr)
     state = tx.init(params)
 
     @jax.jit
-    def step(p, s, bx, by):
+    def step(p, s, bx, by, cutoff_t, lr_t):
+        # cutoff and lr ride as TRACED args (one jitted step for the whole
+        # schedule — CLAUDE.md convention)
         l, g = jax.value_and_grad(
-            lambda p: cross_entropy(model.apply({"params": p}, bx, cutoff=jnp.int32(cutoff), deterministic=True), by)
+            lambda p: cross_entropy(model.apply({"params": p}, bx, cutoff=cutoff_t, deterministic=True), by)
         )(p)
+        s.hyperparams["lr"] = lr_t
         u, s = tx.update(g, s, p)
         return optax.apply_updates(p, u), s, l
 
+    # --- schedule: fixed (default) or the real plateau+sawtooth machine
+    from spectral_tpu.train.schedules import plateau_cutoff, sawtooth_lr
+
+    fbins = None
+    if args.curriculum:
+        from spectral_tpu.ops.fftc import conv_n_fft
+
+        fbins = conv_n_fft(cfg.seq_len, cfg.kernel_len) // 2 + 1
+
+    cutoffs, lrs, events = [], [], []
+    cut, best, stall = cutoff, float("inf"), 0
     jax_losses = []
     p = params
-    for bx, by in batches:
-        p, state, l = step(p, state, jnp.asarray(bx), jnp.asarray(by))
+    spe = max(1, args.steps // 3)
+    for i, (bx, by) in enumerate(batches):
+        if args.curriculum:
+            lr_i = sawtooth_lr(i % spe, i // spe, cfg)
+        else:
+            lr_i = cfg.lr
+        raised = False
+        if args.curriculum and args.force_unlock_step is not None:
+            if i == args.force_unlock_step:
+                from spectral_tpu.train.schedules import _next_band
+
+                cut, raised = _next_band(cut, fbins), True
+        elif args.curriculum and jax_losses:
+            cut, raised, best, stall = plateau_cutoff(
+                cut, jax_losses[-1], fbins, best, stall,
+                patience=args.patience, improvement_threshold=0.01)
+        if raised:
+            lr_i = sawtooth_lr(i % spe, i // spe, cfg, cutoff_raised=True)
+            events.append((i, cut))
+            print(f"  [curriculum] step {i}: UNLOCK -> cutoff {cut}, "
+                  f"Shock & Awe lr {lr_i:.2e}", flush=True)
+        cutoffs.append(cut)
+        lrs.append(lr_i)
+        p, state, l = step(p, state, jnp.asarray(bx), jnp.asarray(by),
+                           jnp.int32(cut), jnp.float32(lr_i))
         jax_losses.append(float(l))
+    if args.curriculum and not events:
+        print("WARNING: no plateau unlock fired inside the window — "
+              "lower --patience or raise --steps", flush=True)
 
     opt = (torch.optim.AdamW(tmodel.parameters(), lr=cfg.lr, weight_decay=0.01)
            if args.adamw else torch.optim.Adam(tmodel.parameters(), lr=cfg.lr))
@@ -126,9 +189,11 @@ def main():
     torch_losses = []
     import time as _time
     _t0 = _time.time()
-    for bx, by in batches:
+    for (bx, by), cut_i, lr_i in zip(batches, cutoffs, lrs):
+        for gvar in opt.param_groups:
+            gvar["lr"] = lr_i
         opt.zero_grad()
-        logits = tmodel(torch.tensor(bx.astype(np.int64)), cutoff=cutoff)
+        logits = tmodel(torch.tensor(bx.astype(np.int64)), cutoff=cut_i)
         loss = lf(logits.reshape(-1, 256), torch.tensor(by.reshape(-1).astype(np.int64)))
         loss.backward()
         opt.step()
@@ -146,6 +211,13 @@ def main():
     print(f"{args.steps-1:>6} {j:>13.5f} {t:>11.5f} {abs(j-t)/t:>8.2%}")
     max_rel = max(abs(a - b) / b for a, b in zip(jax_losses, torch_losses))
     print(f"\nmax relative divergence over {args.steps} steps: {max_rel:.3%}")
+    if args.curriculum:
+        for (i, c) in events:
+            lo, hi = max(0, i - 2), min(args.steps, i + 8)
+            win = [abs(jax_losses[t] - torch_losses[t]) / torch_losses[t]
+                   for t in range(lo, hi)]
+            print(f"unlock at step {i} (cutoff -> {c}): divergence through "
+                  f"the discontinuity [steps {lo}-{hi-1}] max {max(win):.3%}")
 
 
 if __name__ == "__main__":

@@ -190,8 +190,20 @@ def main() -> None:
             dt1 = timed(lambda n, t: float(runj(state0, t, n)), 1)
             dtN = timed(lambda n, t: float(runj(state0, t, n)), args.tokens)
             per = (dtN - dt1) / (args.tokens - 1)
+            # window-traffic roofline (VERDICT r4 next #3): every token's
+            # tap-dot + pooled mean must READ all L per-layer [N, T, C]
+            # window buffers from HBM (1.6 GB at B=128 fp32 — far >VMEM);
+            # the write side is one [N, C] row per layer (negligible).
+            # fraction > 1 would mean the harness lied (CLAUDE.md rule).
+            bpe = 2 if layout == "tc16" else 4
+            win_bytes = cfg.n_layers * B * T * cfg.d_model * bpe
+            from spectral_tpu.utils.profiling import HBM_PEAK_GBPS, detect_chip
+
+            bound = win_bytes / (HBM_PEAK_GBPS[detect_chip()] * 1e9)
             print(f"B={B:<4} {name:<10} {per*1e6:9.1f} us/token "
-                  f"({B/per:,.0f} bytes/s fleet)", flush=True)
+                  f"({B/per:,.0f} bytes/s fleet)  window-read bound "
+                  f"{bound*1e6:7.1f} us -> {bound/per:5.2f} of roofline",
+                  flush=True)
 
         if "sampler" in want:
             samp_states = jax.tree.map(

@@ -32,7 +32,8 @@ CASES = {
 }
 
 
-def bench_case(name, d, L, T, B, A, iters=30, tail_conv="auto"):
+def bench_case(name, d, L, T, B, A, iters=30, tail_conv="auto",
+               force_path="", flatten="auto"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -49,9 +50,10 @@ def bench_case(name, d, L, T, B, A, iters=30, tail_conv="auto"):
     cfg = TrainConfig(
         d_model=d, n_layers=L, seq_len=T, kernel_len=128, batch_size=B,
         accum_steps=A, use_fused_block=True, compute_dtype="bfloat16",
-        tail_conv_backend=tail_conv,
+        tail_conv_backend=tail_conv, fused_force_path=force_path,
+        flatten_accum=flatten,
     )
-    path = fused_path_for(T, d, 2 * d)
+    path = force_path or fused_path_for(T, d, 2 * d)
     if path == "tail" and tail_conv != "auto":
         path = f"tail/{tail_conv}"
     model, params = init_model(cfg)
@@ -94,8 +96,11 @@ def bench_case(name, d, L, T, B, A, iters=30, tail_conv="auto"):
 
     dt = max(timed(iters) - timed(1), 1e-9) / (iters - 1)
     tok = A * B * T
+    fold = (flatten != "never" and A > 1
+            and A * B * T <= cfg.flatten_accum_max_tokens)
     print(f"{name:<10} d{d} x{L} T{T:>5} {A}x{B} ({tok} tok/step) "
-          f"path={path:<5} {dt*1e3:8.2f} ms/step  {tok/dt:>12,.0f} tok/s",
+          f"path={path:<5} fold={'Y' if fold else 'n'} "
+          f"{dt*1e3:8.2f} ms/step  {tok/dt:>12,.0f} tok/s",
           flush=True)
 
 
@@ -104,8 +109,16 @@ def main() -> None:
     ap.add_argument("--cases", default="seq8192,d1024")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--tail-conv", default="auto",
-                    choices=["auto", "direct", "matmul", "pallas"],
-                    help="override cfg.tail_conv_backend for the tail route")
+                    help="override cfg.tail_conv_backend for the tail route "
+                         "(comma list runs an A/B, e.g. 'direct,pallas')")
+    ap.add_argument("--force-path", default="",
+                    choices=["", "block", "tail"],
+                    help="override the block/tail route dispatch (the "
+                         "whole-block-vs-tail crossover A/B at seq<=2048)")
+    ap.add_argument("--flatten", default="auto", choices=["auto", "never"],
+                    help="cfg.flatten_accum: the r5 audit found the fold "
+                         "and the conv backend INTERACT (direct degrades "
+                         "folded, pallas improves) — A/B both")
     args = ap.parse_args()
 
     from spectral_tpu.utils.platform import apply_platform_env
@@ -113,8 +126,10 @@ def main() -> None:
     apply_platform_env()
     for name in args.cases.split(","):
         d, L, T, B, A = CASES[name.strip()]
-        bench_case(name.strip(), d, L, T, B, A, iters=args.iters,
-                   tail_conv=args.tail_conv)
+        for be in args.tail_conv.split(","):
+            bench_case(name.strip(), d, L, T, B, A, iters=args.iters,
+                       tail_conv=be.strip(), force_path=args.force_path,
+                       flatten=args.flatten)
 
 
 if __name__ == "__main__":

@@ -68,6 +68,28 @@ def main(argv=None):
               flush=True)
         assert err < tol, f"{name} parity {err} > {tol}"
 
+    # --- "mid" mode error probe (round 5): 2-dot scheme — split TABLES
+    # against bf16-rounded values.  Direct kernel vs the HIGHEST einsum
+    # oracle (same operands), expected between fast (~1e-4) and accurate
+    # (~6e-6).
+    from spectral_tpu.ops.pallas_bandlimited import (
+        bandlimited_mix_reference,
+        bandlimited_mix_stream,
+    )
+
+    k = min(256 // 2, args.seq // 2)
+    wr = jax.random.normal(jax.random.PRNGKey(3), (k, D)) / args.seq
+    wi = jax.random.normal(jax.random.PRNGKey(4), (k, D)) / args.seq
+    bias = jnp.zeros((D,), jnp.float32)
+    y_ref = np.asarray(jax.jit(bandlimited_mix_reference)(x, wr, wi, bias))
+    scale = np.abs(y_ref).max()
+    for cdt in ("float32", "mid", "bfloat16"):
+        y_m = np.asarray(jax.jit(
+            lambda x, wr, wi, bias, c=cdt: bandlimited_mix_stream(
+                x, wr, wi, bias, c))(x, wr, wi, bias))
+        print(f"mode[{cdt}]: max rel err vs HIGHEST oracle "
+              f"{np.abs(y_m - y_ref).max() / scale:.2e}", flush=True)
+
     iters = 10 if args.quick else 50
     out = {}
     for backend in ("bandlimited", "bandlimited_stream"):
@@ -88,6 +110,17 @@ def main(argv=None):
             print(f"{key}: HBM {dt_h*1e6:.1f} us/iter "
                   f"({gbps/peak:.3f} of roofline), vmem {dt_v*1e6:.1f} us",
                   flush=True)
+    # mid mode rides the pooled harness directly (no layer plumbing)
+    tok_h, dt_h, gbps = bench_spectral_mix_hbm(
+        seq=args.seq, iters=iters, backend="bandlimited_stream",
+        compute_dtype="mid")
+    out["bandlimited_stream/mid"] = {
+        "hbm_tokens_per_sec": round(tok_h, 1),
+        "hbm_us_per_iter": round(dt_h * 1e6, 1),
+        "roofline_fraction": round(gbps / peak, 3),
+    }
+    print(f"bandlimited_stream/mid: HBM {dt_h*1e6:.1f} us/iter "
+          f"({gbps/peak:.3f} of roofline)", flush=True)
     print(json.dumps(out, indent=2), flush=True)
 
 

@@ -111,6 +111,11 @@ class TrainConfig:
     # (Toeplitz matmul — full MXU, O(T^2 B C) but tiny constants), or
     # "matmul" (four-step matmul-FFT, O(T log T) with large constants).
     tail_conv_backend: str = "auto"
+    # override the fused-route dispatch ("" = fused_path_for's shape-based
+    # choice; "block"|"tail" force that route) — benchmarks/tests only:
+    # lets the whole-block-vs-tail crossover be A/B-measured through the
+    # REAL train step (experiments/profile_longseq --force-path)
+    fused_force_path: str = ""
     # PRNG implementation for dropout keys: "rbg" uses the TPU's hardware
     # RNG and makes dropout ~free; "threefry2x32" (JAX's default) costs
     # ~0.58 ms/block/micro-batch at the flagship shape — 35% of the block's

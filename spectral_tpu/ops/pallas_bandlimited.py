@@ -249,7 +249,7 @@ def _bdot(a, b, transpose=False):
                                preferred_element_type=jnp.float32)
 
 
-def _stream_kernel(s_ref, x_ref, *rest, accurate, NT, B, ntab):
+def _stream_kernel(s_ref, x_ref, *rest, mode, NT, B, ntab):
     """One grid step of the two-phase fused kernel (grid = (2*NT,)).
 
     Steps 0..NT-1   (phase A): accumulate the band spectrum of each x
@@ -261,8 +261,10 @@ def _stream_kernel(s_ref, x_ref, *rest, accurate, NT, B, ntab):
     reconstruct one y chunk.  The batch loop is a Python unroll (static
     outer-axis indices; B is small).
 
-    ``accurate`` = split-mantissa fp32 (3 bf16 dots per logical dot),
-    else single-pass bf16 fast mode."""
+    ``mode``: "accurate" = split-mantissa fp32 (3 bf16 dots per logical
+    dot, both operands compensated); "mid" = 2-dot scheme (split TABLES
+    against bf16-rounded values — compensates the static operand, leaves
+    the value rounding uncompensated); "fast" = single-pass bf16."""
     tab_refs = rest[:ntab]
     wr_ref, wi_ref, b_ref = rest[ntab:ntab + 3]
     y_ref = rest[ntab + 3]
@@ -270,24 +272,41 @@ def _stream_kernel(s_ref, x_ref, *rest, accurate, NT, B, ntab):
     cache_refs = rest[ntab + 6:]
     i = pl.program_id(0)
 
-    def dotT(tv, v):
-        """tablesᵀ @ v — tv is (hi, lo) when accurate else a plain table."""
-        if accurate:
+    def split(v):
+        """Pre-split a value operand once per (chunk, b) — the accurate
+        mode uses the same split for the tc AND ts dots (hoisted; the
+        per-dot split cost the VPU 2x the work)."""
+        if mode == "accurate":
+            return _split_hi_lo(v)
+        return (v.astype(jnp.bfloat16), None)
+
+    def dotT(tv, vs):
+        """tablesᵀ @ v — tv is (hi, lo) when tables are split; vs is the
+        pre-split (vh, vl) pair."""
+        vh, vl = vs
+        if mode == "accurate":
             h, l = tv
-            vh, vl = _split_hi_lo(v)
             return (_bdot(h, vh, True) + _bdot(h, vl, True)
                     + _bdot(l, vh, True))
-        return _bdot(tv, v.astype(jnp.bfloat16), True)
-
-    def dot(tv, v):
-        if accurate:
+        if mode == "mid":
             h, l = tv
-            vh, vl = _split_hi_lo(v)
+            return _bdot(h, vh, True) + _bdot(l, vh, True)
+        return _bdot(tv, vh, True)
+
+    def dot(tv, vs):
+        vh, vl = vs
+        if mode == "accurate":
+            h, l = tv
             return _bdot(h, vh) + _bdot(h, vl) + _bdot(l, vh)
-        return _bdot(tv, v.astype(jnp.bfloat16))
+        if mode == "mid":
+            h, l = tv
+            return _bdot(h, vh) + _bdot(l, vh)
+        return _bdot(tv, vh)
 
     def pair(vals):
-        return ((vals[0], vals[1]), (vals[2], vals[3])) if accurate else vals
+        if mode in ("accurate", "mid"):
+            return ((vals[0], vals[1]), (vals[2], vals[3]))
+        return vals
 
     @pl.when(i < NT)
     def _spectrum():
@@ -296,8 +315,9 @@ def _stream_kernel(s_ref, x_ref, *rest, accurate, NT, B, ntab):
             c[i] = v
         tcv, tsv = pair(tv)
         for b in range(B):
-            pr = dotT(tcv, x_ref[0, b])
-            pi = -dotT(tsv, x_ref[0, b])
+            xs = split(x_ref[0, b])
+            pr = dotT(tcv, xs)
+            pi = -dotT(tsv, xs)
 
             @pl.when(i == 0)
             def _init():
@@ -317,7 +337,7 @@ def _stream_kernel(s_ref, x_ref, *rest, accurate, NT, B, ntab):
             xr, xi = xr_ref[b], xi_ref[b]
             yr = xr * wr_ref[...] - xi * wi_ref[...]
             yi = xr * wi_ref[...] + xi * wr_ref[...]
-            y_ref[b] = dot(tcv, yr) - dot(tsv, yi) + b_ref[...]
+            y_ref[b] = dot(tcv, split(yr)) - dot(tsv, split(yi)) + b_ref[...]
 
 
 def _stream_call(xpool, slot, wr, wi, bias, chunk, compute_dtype, interpret):
@@ -339,8 +359,13 @@ def _stream_call(xpool, slot, wr, wi, bias, chunk, compute_dtype, interpret):
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
     tc, ts = _tables(T, k)
-    accurate = jnp.dtype(compute_dtype) == jnp.float32
-    if accurate:
+    if compute_dtype == "mid":
+        mode = "mid"
+    elif jnp.dtype(compute_dtype) == jnp.float32:
+        mode = "accurate"
+    else:
+        mode = "fast"
+    if mode in ("accurate", "mid"):
         tch, tcl = _split_hi_lo(tc)
         tsh, tsl = _split_hi_lo(ts)
         tabs = (tch, tcl, tsh, tsl)
@@ -371,7 +396,7 @@ def _stream_call(xpool, slot, wr, wi, bias, chunk, compute_dtype, interpret):
     whole = lambda shape: pl.BlockSpec(shape, lambda i, s: tuple(0 for _ in shape))
 
     fused = pl.pallas_call(
-        functools.partial(_stream_kernel, accurate=accurate, NT=NT, B=B,
+        functools.partial(_stream_kernel, mode=mode, NT=NT, B=B,
                           ntab=ntab),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -458,7 +483,11 @@ def _stream_vjp_fwd(x, wr, wi, bias, compute_dtype, chunk, interpret):
 
 def _stream_vjp_bwd(compute_dtype, chunk, interpret, res, g):
     x, wr, wi = res
-    precision = "highest" if jnp.dtype(compute_dtype) == jnp.float32 else "default"
+    # "mid" trains with the DEFAULT-precision backward (its forward error
+    # class ~5e-5 sits above bf16-rounded grads anyway); strict fp32 keeps
+    # the HIGHEST backward for parity gates.
+    precision = ("highest" if compute_dtype != "mid"
+                 and jnp.dtype(compute_dtype) == jnp.float32 else "default")
     return _impl_bwd(g, x, wr, wi, precision, interpret)
 
 

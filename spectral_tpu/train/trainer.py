@@ -117,6 +117,7 @@ def make_train_step(model, cfg: TrainConfig, tx) -> Callable:
             logits = fused_lm_apply(
                 params, bx, cfg, cutoff=cutoff,
                 deterministic=cfg.dropout == 0.0, rng=rng,
+                force_path=getattr(cfg, "fused_force_path", "") or None,
             )
             return cross_entropy(logits, by)
     else:

@@ -64,6 +64,25 @@ def test_stream_forward_parity():
     np.testing.assert_allclose(np.asarray(out32), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_stream_mid_mode_parity():
+    """Round-5 "mid" mode: 2-dot scheme (split tables x bf16-rounded
+    values).  Error class sits BETWEEN fast (~1e-3 interpret-mode class
+    with small-K averaging) and accurate (~1e-6): gate at 1e-3 relative —
+    the chip probe (experiments/profile_stream_mix) records the measured
+    class at the headline shape."""
+    from spectral_tpu.ops.pallas_bandlimited import bandlimited_mix_stream
+
+    x, wr, wi, bias = _setup()
+    ref = np.asarray(bandlimited_mix_reference(x, wr, wi, bias))
+    out = np.asarray(bandlimited_mix_stream(x, wr, wi, bias, "mid", 512, True))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() / scale < 1e-3
+    # mid must be strictly more accurate than fast on the same operands
+    fast = np.asarray(
+        bandlimited_mix_stream(x, wr, wi, bias, "bfloat16", 512, True))
+    assert (np.abs(out - ref).max() <= np.abs(fast - ref).max())
+
+
 def test_stream_gradient_parity():
     """Backward parity under an IDENTICAL cotangent: the stream forward is
     split-mantissa (~1e-5 relative), so grad-of-loss comparisons would
