@@ -48,11 +48,11 @@ SINGLE_CHIP_MS_PER_32K_TOK = 20.52  # round-5 re-measured flagship step
 # under the flat-accum default; the crossover model scales these by
 # per-chip token fraction)
 SEQ_ANCHOR_MS_PER_32K = {
-    1024: 20.52,   # whole-block kernel (r5 audit)
-    2048: 40.0,    # tail/pallas — REFRESHED by the r5 audit log
-    4096: 41.0,    # tail/pallas
-    8192: 90.3,    # tail/pallas
-    16384: 160.0,  # tail/matmul (r4 BENCHMARKS table class)
+    1024: 20.52,   # whole-block kernel (r5 audit, flat fold)
+    2048: 38.11,   # tail/pallas (r5 audit)
+    4096: 40.95,   # tail/pallas (r5 audit)
+    8192: 90.09,   # tail/pallas (r5 audit)
+    16384: 105.44,  # tail/matmul (r3 BENCHMARKS.md:855 — not re-audited)
 }
 
 

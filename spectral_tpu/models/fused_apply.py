@@ -181,26 +181,36 @@ def _tail_conv(xn, h_fused, n_fft, conv_backend, compute_dtype, interpret):
       algebra as "matmul" but ONE VMEM-resident pass per (b, C-block):
       HBM traffic drops to read-xn + write-conv.  fp32 in-kernel.
 
-    "auto" picks by chip-measured crossover (experiments/profile_longseq,
-    32768 tok/step, whole-step ms, bf16 compute mode — BENCHMARKS.md
-    "Tail-route conv crossover"): T=1024/d1024 direct 34.9 vs pallas 53.7;
-    T=2048/d512 pallas 39.99 vs direct 69.7; T=4096/d512 pallas 41.09 vs
-    direct 76.9 vs matmul 95.3; T=8192/d512 pallas 90.27 vs matmul 106.2
-    (bf16 in-kernel dots flipped 8192 to pallas — the fp32 multi-pass
-    kernel lost it, 116.7).  Beyond 8192 "matmul" is FORCED, not assumed
-    (VERDICT r3 weak #6 settled by measurement attempt): at n_fft 32768
-    Mosaic REJECTS the kernel outright — the slab dot's reshape
-    vector<256x128x16xbf16> -> vector<256x2048xbf16> trips
-    "infer-vector-layout: unsupported shape cast"
+    "auto" picks by chip-measured crossover — RE-AUDITED round 5
+    (experiments/profile_longseq, 32768 tok/step, whole-step ms, bf16
+    compute mode, re-measured under the shipped flat-accum default AND
+    with the fold disabled — BENCHMARKS.md "Round 5: crossover
+    re-audit").  Every "direct wins" edge is gone:
+
+        T=1024/d512 (forced tail): pallas 36.8 vs direct 87.9
+        T=1024/d1024: pallas 46.0 (fold) / 50.3 (scan)
+                      vs direct 98.6 (fold) / 81.7 (scan)
+        T=2048/d512:  pallas 38.1 vs direct 89.1 (fold) / 69.7 (scan)
+        T=4096/d512:  pallas 41.0 (fold) / 41.2 (scan) vs direct
+                      101.8 / 91.4, matmul 151.0 (fold) / 95.3 (r3 scan)
+        T=8192/d512:  pallas 90.1 vs matmul 155.8 (fold) / 106.2 (r3)
+
+    The r3 "direct wins at T<=1024" edge (34.9 vs 53.7 at d1024) does
+    NOT reproduce in either fold mode — seq2048-direct DOES reproduce
+    r3 to 0.1% (69.74 vs 69.72), so the harness is faithful and the old
+    d1024-direct number was an artifact of its era, not of the fold.
+    "auto" is therefore pallas through T=8192.  Beyond 8192 "matmul" is
+    FORCED, not assumed (VERDICT r3 weak #6 settled by measurement
+    attempt): at n_fft 32768 Mosaic REJECTS the kernel outright — the
+    slab dot's reshape vector<256x128x16xbf16> -> vector<256x2048xbf16>
+    trips "infer-vector-layout: unsupported shape cast"
     (pallas_spectral.py:254 via _fused_conv_mxu_slabbed; chip compile
     log /tmp/tailconv16k, round 4).  There is no crossover edge to
     measure at that size until Mosaic grows the layout cast.
     """
     T = xn.shape[1]
     if conv_backend == "auto":
-        if T <= 1024:
-            conv_backend = "direct"
-        elif T <= 8192:
+        if T <= 8192:
             conv_backend = "pallas"
         else:
             conv_backend = "matmul"
