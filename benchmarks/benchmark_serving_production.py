@@ -64,7 +64,7 @@ def make_workload(n: int, seed: int, lo: int = 16, hi: int = 256):
 
 
 def run_once(params, cfg, reqs, *, slots, policy, rate_hz, seed,
-             decode_chunk=32, buf_dtype="float32"):
+             decode_chunk=32, buf_dtype="float32", prefill_exact=False):
     """One open-loop run: Poisson arrivals at rate_hz, async drain.
 
     Returns dict with wall time, bytes, turnaround percentiles (work +
@@ -76,7 +76,7 @@ def run_once(params, cfg, reqs, *, slots, policy, rate_hz, seed,
     arrivals = np.cumsum(gaps)
 
     eng = ServingEngine(params, cfg, slots=slots, policy=policy,
-                        buf_dtype=buf_dtype)
+                        buf_dtype=buf_dtype, prefill_exact=prefill_exact)
     eng.start()
     t0 = time.perf_counter()
     submit_wall = {}
@@ -148,18 +148,28 @@ def calibrate_rate(params, cfg, reqs, *, slots, frac, buf_dtype="float32"):
 
 
 def invariance_spot_check(params, cfg, probes, busy_results,
-                          buf_dtype="float32"):
+                          buf_dtype="float32", slots=32,
+                          prefill_exact=False):
     """Probe texts from the busy Poisson run must equal solo-served runs.
 
-    The solo engines run under the SAME buf_dtype as the busy run: the
-    invariance guarantee is stated per-configuration (busy == solo under
-    identical numerics), so the probe must exercise the quoted config —
-    fp32 AND bf16 windows are both covered when both are benchmarked."""
+    The solo reference is the SAME engine configuration (slots, chunk,
+    buf_dtype, prefill mode) serving ONE request: the operational
+    guarantee is that a request's output does not depend on TRAFFIC —
+    co-tenants, arrival time, admission cohort, policy.  A slots=1
+    engine is NOT a valid bit-reference for a slots=32 engine: XLA
+    compiles different programs per lane count and fp32 reduction
+    orders differ at the 1e-7 class across programs (round-5 chip
+    probes) — cross-CONFIG equality is exact in real arithmetic only,
+    and no precision flag can promise bit equality across programs.
+    With prefill_exact=True this busy==solo(same-config) check is
+    bit-exact by construction (every admission runs the M=1 prefill
+    program, decode per-lane math is traffic-independent)."""
     from spectral_tpu.streaming.engine import Request, ServingEngine
 
     ok = True
     for rid, (p, m, s) in probes.items():
-        solo = ServingEngine(params, cfg, slots=1, buf_dtype=buf_dtype).run(
+        solo = ServingEngine(params, cfg, slots=slots, buf_dtype=buf_dtype,
+                             prefill_exact=prefill_exact).run(
             [Request(prompt=p, max_new=m, seed=s)])[0]
         if busy_results.get(rid) != solo:
             ok = False
@@ -186,6 +196,11 @@ def main(argv=None):
                     help="exact-decoder window dtype for EVERY engine in "
                          "the run (busy, calibration AND the invariance "
                          "solo probes — the guarantee is per-config)")
+    ap.add_argument("--prefill-exact", action="store_true",
+                    help="per-request M=1 admission prefills: restores the "
+                         "BIT-exact busy==solo guarantee end-to-end (the "
+                         "batched default is exact-in-real-arithmetic at "
+                         "admission; see streaming/engine.py)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -218,7 +233,8 @@ def main(argv=None):
     # and their compiles polluted rep 0 (bytes/s spread ~0.5 without it)
     run_once(params, cfg, reqs, slots=args.slots,
              policy=args.policies.split(",")[0], rate_hz=rate,
-             seed=args.seed, buf_dtype=args.buf_dtype)
+             seed=args.seed, buf_dtype=args.buf_dtype,
+             prefill_exact=args.prefill_exact)
 
     table = {}
     for policy in args.policies.split(","):
@@ -226,7 +242,8 @@ def main(argv=None):
         for r in range(args.reps):
             out = run_once(params, cfg, reqs, slots=args.slots,
                            policy=policy, rate_hz=rate, seed=args.seed + r,
-                           buf_dtype=args.buf_dtype)
+                           buf_dtype=args.buf_dtype,
+                           prefill_exact=args.prefill_exact)
             runs.append(out)
             print(f"  [{policy} rep {r}] {out['bytes_per_s']:.0f} B/s "
                   f"wall {out['wall_s']:.1f}s p50/p99 work "
@@ -246,7 +263,9 @@ def main(argv=None):
         }
         probes = {i: reqs[i] for i in probe_idx}
         inv = invariance_spot_check(params, cfg, probes, best["results"],
-                                    buf_dtype=args.buf_dtype)
+                                    buf_dtype=args.buf_dtype,
+                                    slots=args.slots,
+                                    prefill_exact=args.prefill_exact)
         table[policy]["admission_invariant"] = inv
 
     q8_path = os.path.splitext(args.ckpt)[0] + ".q8.msgpack"
@@ -263,7 +282,9 @@ def main(argv=None):
         # r4 weak #7) + the same per-config invariance gate
         probes = {i: reqs[i] for i in probe_idx}
         inv = invariance_spot_check(qparams, qcfg, probes, best["results"],
-                                    buf_dtype=args.buf_dtype)
+                                    buf_dtype=args.buf_dtype,
+                                    slots=args.slots,
+                                    prefill_exact=args.prefill_exact)
         table["q8_sjf"] = {
             "bytes_per_s_best": round(best["bytes_per_s"], 1),
             "bytes_per_s_spread": round((max(bps) - min(bps)) / max(bps), 3),
@@ -279,6 +300,7 @@ def main(argv=None):
                                    "rate_hz": round(rate, 2),
                                    "max_new_range": [lo, hi],
                                    "buf_dtype": args.buf_dtype,
+                                   "prefill_exact": args.prefill_exact,
                                    "total_bytes": sum(m for _, m, _ in reqs)},
                       "policies": table}, indent=2))
 

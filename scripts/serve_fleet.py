@@ -64,6 +64,13 @@ def main(argv=None) -> None:
                          "round-4 amendment); float32 default is the "
                          "configuration the bit-exact admission-invariance "
                          "guarantee is gated under")
+    ap.add_argument("--prefill-exact", action="store_true",
+                    help="engine mode: per-request M=1 admission prefills — "
+                         "BIT-exact busy==solo end-to-end (the batched "
+                         "default is exact-in-real-arithmetic at admission "
+                         "and bit-exact in decode; a ~1e-6 admission-logit "
+                         "reorder can flip a knife-edge sampled byte on "
+                         "very long decodes)")
     ap.add_argument("--temperature", type=float, default=0.9)
     ap.add_argument("--top-p", type=float, default=0.92)
     ap.add_argument("--rep", type=float, default=1.25)
@@ -130,7 +137,8 @@ def main(argv=None) -> None:
 
         eng = ServingEngine(params, cfg, slots=args.slots,
                             decode_chunk=args.decode_chunk,
-                            buf_dtype=args.buf_dtype, policy=args.policy)
+                            buf_dtype=args.buf_dtype, policy=args.policy,
+                            prefill_exact=args.prefill_exact)
         outs = eng.run([Request(prompt=p, max_new=m, seed=args.seed + i)
                         for i, (p, m) in enumerate(zip(prompts, max_news))])
     else:

@@ -58,7 +58,11 @@ Two driving shapes share one core:
   step admits whatever fits, advances every active lane one bucketed
   chunk, and returns the requests that finished.  Arrivals between
   steps model a live server; admission-invariance guarantees the text
-  each request gets is byte-identical to what a batch run would give.
+  each request gets is byte-identical to what a batch run would give
+  (BIT-exact under ``prefill_exact=True``; the default batched
+  admission is exact in real arithmetic with a ~1e-6 cross-batch-size
+  logit reorder that can flip a knife-edge sampled byte on very long
+  decodes — see the __init__ note).
 
 Per-request ``metrics`` record submit/admit/done on the device-work
 clock (cumulative scan tokens issued), so scheduling policies are
@@ -117,7 +121,8 @@ class ServingEngine:
 
     def __init__(self, params: dict, cfg: TrainConfig, *, slots: int = 8,
                  decode_chunk: int = 32, buf_dtype: str = "float32",
-                 mesh=None, policy: str = "fifo"):
+                 mesh=None, policy: str = "fifo",
+                 prefill_exact: bool = False):
         if policy not in ("fifo", "priority", "sjf", "edf"):
             raise ValueError(
                 f"policy={policy!r}: expected 'fifo' (submission order), "
@@ -130,6 +135,27 @@ class ServingEngine:
         self.slots = int(slots)
         self.chunk = int(decode_chunk)
         self.policy = policy
+        # Admission-prefill bit-exactness (round-5 finding, chip-probed):
+        # the DECODE path is bit-exact by per-lane-phase construction and
+        # across scan-length buckets (probe: scan(8) == scan(4)+scan(4)
+        # to the bit), and the batched admission prefill produces
+        # BIT-IDENTICAL window buffers across batch sizes — but the
+        # admission LOGITS differed by 1.3e-3 relative between M=1 and
+        # M>1 rounds: XLA lowered the final [M, C] x [C, 256] matmul to
+        # a VPU fp32 matvec at M=1 but an MXU bf16 GEMM at M>1 (DEFAULT
+        # precision).  That first-byte distribution wobble flipped a
+        # knife-edge nucleus decision for 1 request in 256 at decode-
+        # heavy shape (benchmark_serving_production).  The logits matmul
+        # is now pinned HIGHEST (overlap_save_batch._init_impl), cutting
+        # the cross-program variance to 1.9e-6 (fp32 accumulation-order
+        # class) — but bit-equality across DIFFERENT XLA programs cannot
+        # be promised by precision flags alone, so prefill_exact=True
+        # runs one M=1 prefill per admitted request (the exact program a
+        # solo engine runs): busy == solo returns to BIT-exact
+        # end-to-end, at a measured admission-cost multiple for
+        # multi-request rounds.  The default keeps the batched prefill:
+        # exact-in-real-arithmetic admission + bit-exact decode.
+        self.prefill_exact = bool(prefill_exact)
         # observability: filled by run() — completion_order lists request
         # indices in retire order; stats counts device work actually issued
         self.completion_order: list[int] = []
@@ -293,6 +319,12 @@ class ServingEngine:
         BATCHED [m_pad, ...] — the shape ``_admit_impl`` scatters in one
         program."""
         T = self.dec.T
+        # m_pad stays the pow2 ladder in BOTH modes: _admit_impl is jitted
+        # per m_pad, so an arbitrary M would spawn unbounded scatter
+        # variants (each a minutes-long remote compile on the tunneled
+        # chip).  prefill_exact pads with ZERO rows — padded rows are
+        # dropped by the scatter (slots_arr = self.slots, mode="drop"),
+        # so their values never land.
         m_pad = 1
         while m_pad < len(reqs):
             m_pad <<= 1
@@ -303,9 +335,32 @@ class ServingEngine:
             encs.append(enc)
             tail = enc[-T:]
             windows[i, T - len(tail):] = tail
-        fresh_bufs, fresh_ptrs, fresh_ws, fresh_logits = self.dec._init_fn(
-            self.dec.params, jnp.asarray(windows))
-        self.stats["prefill_calls"] = self.stats.get("prefill_calls", 0) + 1
+        if self.prefill_exact:
+            # one M=1 program per REQUEST — bit-identical to serving it
+            # alone on this engine config; pad rows are zeros (dropped at
+            # the scatter), stacked device-side for the admit program
+            rows = [self.dec._init_fn(self.dec.params,
+                                      jnp.asarray(windows[i:i + 1]))
+                    for i in range(len(reqs))]
+            npad = m_pad - len(reqs)
+
+            def stack(parts):
+                if npad:
+                    parts = parts + [jnp.zeros_like(parts[0])] * npad
+                return jnp.concatenate(parts)
+
+            fresh_bufs = [stack([r[0][l] for r in rows])
+                          for l in range(self.dec.n_layers)]
+            fresh_ptrs = stack([r[1] for r in rows])
+            fresh_ws = [stack([r[2][l] for r in rows])
+                        for l in range(self.dec.n_layers)]
+            fresh_logits = stack([r[3] for r in rows])
+            self.stats["prefill_calls"] = (
+                self.stats.get("prefill_calls", 0) + len(reqs))
+        else:
+            fresh_bufs, fresh_ptrs, fresh_ws, fresh_logits = self.dec._init_fn(
+                self.dec.params, jnp.asarray(windows))
+            self.stats["prefill_calls"] = self.stats.get("prefill_calls", 0) + 1
         fresh_samp = self.sampler.init_state_batch(
             encs + [[32]] * (m_pad - len(reqs)))
         seeds = [req.seed for req in reqs] + [0] * (m_pad - len(reqs))

@@ -225,7 +225,18 @@ class OverlapSaveBatch:
             bufs.append(ln_in.astype(self.buf_dtype))
         h = _layernorm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
         h_last = h[:, -1, :]
-        logits = h_last @ params["embed"]["embedding"].T
+        # precision=HIGHEST (round-5 invariance finding): at DEFAULT, XLA
+        # lowers this matmul to a VPU fp32 matvec at M=1 but an MXU bf16
+        # GEMM at M>1 — a 1.3e-3-relative logit difference between a solo
+        # prefill and a batched admission round (window BUFFERS are
+        # bit-identical across M; chip probe /tmp/probe_prefill.py).  A
+        # knife-edge nucleus decision then flips the first sampled byte
+        # (chip-reproduced: 1 req in 256 at decode-heavy shape).  HIGHEST
+        # pins both to fp32; cross-program variance drops to fp32
+        # accumulation-order class (1e-7).  Cost: one tiny [M, C] x
+        # [C, 256] matmul per admission.
+        logits = jnp.matmul(h_last, params["embed"]["embedding"].T,
+                            precision=jax.lax.Precision.HIGHEST)
         N, T = x_ids.shape
         ptrs = jnp.zeros((N,), jnp.int32)
         # lane tap rows at phase 0: w0[j] = taps[(0 - j) mod T] reversed-
@@ -275,7 +286,11 @@ class OverlapSaveBatch:
                                      bufs[i], ptrs)
             new_bufs.append(b)
         h = _layernorm(h, params["ln_f"]["scale"], params["ln_f"]["bias"])
-        logits = h @ params["embed"]["embedding"].T
+        # HIGHEST for the same cross-program stability (solo N=1 engines
+        # vs fleet N=32 — see _init_impl note); negligible vs the window
+        # reads that dominate the step (profile_decode roofline).
+        logits = jnp.matmul(h, params["embed"]["embedding"].T,
+                            precision=jax.lax.Precision.HIGHEST)
         # advance every lane's phase; the tap rows rotate with it
         ptrs = (ptrs + 1) % self.T
         ws = [jnp.roll(w, 1, axis=-1) for w in ws]

@@ -185,6 +185,25 @@ class TestServingEngine:
         live = [eng.results[rid] for rid in ids]
         assert live == batch
 
+    def test_prefill_exact_matches_solo(self, setup):
+        """prefill_exact=True admits via per-request M=1 prefills, so a
+        request's text must not depend on TRAFFIC: the busy run must
+        equal a SAME-CONFIG engine serving that request alone (round-5:
+        the guarantee is per engine config — cross-config (different
+        slots) equality is real-arithmetic only, since XLA compiles
+        different programs per lane count)."""
+        cfg, params = setup
+        reqs = [Request(prompt=f"exact {i}: a cat", max_new=8 + 4 * i,
+                        seed=20 + i) for i in range(3)]
+        busy = ServingEngine(params, cfg, slots=2, decode_chunk=8,
+                             prefill_exact=True).run(
+            [Request(**r.__dict__) for r in reqs])
+        for i, r in enumerate(reqs):
+            solo = ServingEngine(params, cfg, slots=2, decode_chunk=8,
+                                 prefill_exact=True).run(
+                [Request(**r.__dict__)])[0]
+            assert busy[i] == solo
+
     def test_step_returns_completions_and_reuses_slots(self, setup):
         cfg, params = setup
         eng = ServingEngine(params, cfg, slots=1, decode_chunk=8)
