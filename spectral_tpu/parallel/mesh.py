@@ -96,6 +96,21 @@ def param_pspecs(params) -> dict:
             return P("tp", None)
         if ("w1" in names) and name.endswith("bias"):
             return P("tp")
+        # NOTE (round 5): the frequency-native per-(bin, channel) params
+        # (SpectralLayerNorm gamma/beta [fbins, C], PhaseShift weights
+        # [fbins, H]) stay REPLICATED even under sp, and that replication
+        # is what the 485 MB/step of GSPMD all-gathers in the freq-native
+        # sp leg pays for (MULTICHIP_NOTES round 5): the sp route computes
+        # with bin-sharded activations, so each shard produces only its
+        # bins' param grads and the replicated update must all-gather
+        # them — the MINIMAL correct collective for this layout.
+        # Bin-sharding them (P("sp", None)) would make grads/optimizer
+        # collective-free and halve their per-chip memory, but
+        # NamedSharding requires the bins axis to divide sp and fbins =
+        # 2^k + 1 is odd; the fix is storing these params PADDED to a
+        # multiple-of-8 bin count (with ckpt resize + zero-grad padded
+        # rows), which changes the canonical param shapes and is left as
+        # the quantified next optimization, not silently half-done here.
         return P()
 
     return jax.tree_util.tree_map_with_path(rule, params)
