@@ -166,6 +166,51 @@ class TestFusedDP:
         for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
+    def test_fused_dp_hlo_collective_budget(self):
+        """Round-5 regression gate on the COMPILED HLO's collective bytes
+        (the accounting that exposed 1.1 GB/step of hidden all-gathers on
+        the freq-native sp leg — multichip_model.py): the fused dp leg
+        must show all-reduce bytes ~= one param-tree grad reduction and
+        NOTHING else — a sharding regression (a replicated-vs-sharded
+        mismatch anywhere in the step) shows up here as phantom
+        all-gathers or inflated all-reduce volume long before real
+        hardware would reveal it as a slowdown."""
+        from experiments.multichip_model import collect_hlo_collectives
+        from spectral_tpu.models.backbone import FixedSpectralLM
+        from spectral_tpu.models.config import TrainConfig
+        from spectral_tpu.parallel.sharded_train import make_sharded_train_step
+        from spectral_tpu.train.trainer import make_optimizer
+
+        cfg = TrainConfig(
+            d_model=64, n_layers=2, seq_len=64, kernel_len=16,
+            jpeg_transition=8, batch_size=8, accum_steps=1, dropout=0.0,
+            use_fused_block=True, compute_dtype="float32",
+        )
+        model = FixedSpectralLM(cfg)
+        x0 = jnp.zeros((cfg.batch_size, cfg.seq_len), jnp.int32)
+        params0 = model.init(jax.random.PRNGKey(0), x0)["params"]
+        tx = make_optimizer(cfg)
+        mesh = make_mesh(dp=8, sp=1, tp=1)
+        with mesh:
+            p_sh = shard_params(params0, mesh)
+            opt_sh = tx.init(p_sh)
+            step, opt_sh = make_sharded_train_step(model, cfg, tx, mesh)(
+                p_sh, opt_sh)
+            bx = jnp.zeros((1, 8, 64), jnp.int32)
+            txt = step.lower(
+                p_sh, opt_sh, bx, bx, jnp.int32(24), jnp.float32(1e-3),
+                jax.random.PRNGKey(1)).compile().as_text()
+        coll = collect_hlo_collectives(txt)
+        param_bytes = sum(
+            np.asarray(l).nbytes for l in jax.tree.leaves(params0))
+        ar = coll.pop("all-reduce", 0)
+        # grad psum + loss pmean (+ clip norm scalars): one param tree,
+        # small slack for scalar reductions
+        assert ar <= 1.5 * param_bytes + 4096, (ar, param_bytes)
+        assert ar >= 0.5 * param_bytes, (ar, param_bytes)
+        # no other collective belongs in a dp-only step
+        assert not coll, coll
+
     def test_fused_dp_not_applicable_under_sp_tp(self):
         from spectral_tpu.models.config import TrainConfig
         from spectral_tpu.parallel.sharded_train import _fused_dp_applicable
